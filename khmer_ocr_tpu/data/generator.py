@@ -1,0 +1,207 @@
+"""Synthetic training-data factory: document-style and scene-style text lines.
+
+Reference counterparts: scripts/generate_document_text.py (Pillow corpus text on
+white, optional noise/blur/rotation augmentation, multiprocessing pool, HF
+dataset export) and scripts/generate_scene_text.py (background-composited text
+with contrast-aware color). Re-designed around a worker-pool of pure functions
+returning (np.uint8 image, label) pairs; output goes to images/+labels/ folder
+pairs (the evaluator's layout) and/or a HuggingFace dataset.
+
+Fonts: any directory of Khmer-capable .ttf files (the reference bundles 11 in
+fonts/). Corpus: one word per whitespace token of a UTF-8 text file; without a
+corpus, words are sampled from the vocabulary's Khmer consonant/vowel ranges so
+the pipeline is runnable end-to-end out of the box.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from multiprocessing import Pool
+from pathlib import Path
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+KHMER_CONSONANTS = [chr(c) for c in range(0x1780, 0x17A3)]
+KHMER_VOWELS = [chr(c) for c in range(0x17B6, 0x17C6)]
+KHMER_SIGNS = ["្"]  # coeng
+
+
+def _default_words(rng: np.random.Generator, n: int = 4000) -> list[str]:
+    words = []
+    for _ in range(n):
+        length = int(rng.integers(2, 8))
+        chars = []
+        for _ in range(length):
+            chars.append(str(rng.choice(KHMER_CONSONANTS)))
+            if rng.random() < 0.25:
+                chars.append(KHMER_SIGNS[0] + str(rng.choice(KHMER_CONSONANTS)))
+            if rng.random() < 0.6:
+                chars.append(str(rng.choice(KHMER_VOWELS)))
+        words.append("".join(chars))
+    return words
+
+
+def load_corpus_words(corpus_path: str | Path | None, rng: np.random.Generator) -> list[str]:
+    if corpus_path and Path(corpus_path).exists():
+        text = Path(corpus_path).read_text(encoding="utf-8")
+        words = [w for w in text.split() if w]
+        if words:
+            return words
+    return _default_words(rng)
+
+
+def find_fonts(font_dir: str | Path | None) -> list[Path]:
+    for candidate in ([Path(font_dir)] if font_dir else []) + [
+        Path(__file__).parent / "fonts",
+        Path("/root/reference/fonts"),
+    ]:
+        if candidate and candidate.is_dir():
+            fonts = sorted(candidate.glob("*.ttf")) + sorted(candidate.glob("*.otf"))
+            if fonts:
+                return fonts
+    raise FileNotFoundError("No .ttf fonts found; pass font_dir=")
+
+
+def render_text_line(text: str, font_path: str | Path, font_size: int = 14,
+                     pad: int = 6, fg: int = 0, bg: int = 255) -> np.ndarray:
+    """Render a text line to a uint8 grayscale array with a dynamic canvas
+    (reference generate_document_text.py: textbbox-sized canvas, RAQM layout if
+    available for correct Khmer shaping)."""
+    try:
+        font = ImageFont.truetype(str(font_path), font_size, layout_engine=ImageFont.Layout.RAQM)
+    except Exception:
+        font = ImageFont.truetype(str(font_path), font_size)
+    probe = Image.new("L", (8, 8), bg)
+    bbox = ImageDraw.Draw(probe).textbbox((0, 0), text, font=font)
+    w = max(bbox[2] - bbox[0], 1) + 2 * pad
+    h = max(bbox[3] - bbox[1], 1) + 2 * pad
+    img = Image.new("L", (w, h), bg)
+    ImageDraw.Draw(img).text((pad - bbox[0], pad - bbox[1]), text, font=font, fill=fg)
+    return np.asarray(img)
+
+
+def _augment_document(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Document-style degradation: noise blobs, blur, small rotation
+    (reference generate_document_text.py CV2 aug block)."""
+    import cv2
+
+    out = img.astype(np.float32)
+    if rng.random() < 0.4:  # salt-ish noise blobs
+        n_blobs = int(rng.integers(1, 6))
+        for _ in range(n_blobs):
+            x, y = int(rng.integers(0, img.shape[1])), int(rng.integers(0, img.shape[0]))
+            r = int(rng.integers(1, 3))
+            cv2.circle(out, (x, y), r, float(rng.integers(0, 120)), -1)
+    if rng.random() < 0.4:
+        out = cv2.GaussianBlur(out, (3, 3), float(rng.uniform(0.4, 1.0)))
+    if rng.random() < 0.4:  # +-2.5 degrees rotation, white border
+        angle = float(rng.uniform(-2.5, 2.5))
+        h, w = out.shape
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+        out = cv2.warpAffine(out, m, (w, h), borderValue=255.0)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class DocumentTextGenerator:
+    """Document-style line generator (reference P4)."""
+
+    font_dir: str | Path | None = None
+    corpus_path: str | Path | None = None
+    words_per_sample: tuple[int, int] = (3, 5)
+    font_size: int = 14
+    augment: bool = True
+    seed: int = 0
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        self.fonts = find_fonts(self.font_dir)
+        self.words = load_corpus_words(self.corpus_path, rng)
+
+    def sample(self, rng: np.random.Generator) -> tuple[np.ndarray, str]:
+        k = int(rng.integers(self.words_per_sample[0], self.words_per_sample[1] + 1))
+        text = " ".join(str(rng.choice(self.words)) for _ in range(k))
+        font = self.fonts[int(rng.integers(0, len(self.fonts)))]
+        img = render_text_line(text, font, self.font_size)
+        if self.augment:
+            img = _augment_document(img, rng)
+        return img, text
+
+    def _one(self, seed: int):
+        try:
+            return self.sample(np.random.default_rng(seed))
+        except Exception:
+            return None  # reference workers also return None on failure
+
+    def generate(self, n: int, out_dir: str | Path | None = None, processes: int = 4):
+        """Generate n samples; write images/+labels/ if out_dir given; returns
+        (images, labels) lists otherwise."""
+        seeds = np.random.default_rng(self.seed).integers(0, 2**31, size=n).tolist()
+        if processes > 1:
+            with Pool(processes) as pool:
+                results = [r for r in pool.imap_unordered(self._one, seeds) if r is not None]
+        else:
+            results = [r for r in map(self._one, seeds) if r is not None]
+        if out_dir is None:
+            return results
+        out = Path(out_dir)
+        (out / "images").mkdir(parents=True, exist_ok=True)
+        (out / "labels").mkdir(parents=True, exist_ok=True)
+        for i, (img, text) in enumerate(results):
+            Image.fromarray(img).save(out / "images" / f"{i:06d}.png")
+            (out / "labels" / f"{i:06d}.txt").write_text(text, encoding="utf-8")
+        return results
+
+    def to_hf_dataset(self, n: int, processes: int = 4):
+        """Export as a HuggingFace dataset with image/label columns (reference
+        pushes these to the Hub)."""
+        import datasets as hfds
+
+        results = self.generate(n, out_dir=None, processes=processes)
+        return hfds.Dataset.from_dict(
+            {"image": [Image.fromarray(img) for img, _ in results], "label": [t for _, t in results]}
+        )
+
+
+@dataclasses.dataclass
+class SceneTextGenerator(DocumentTextGenerator):
+    """Scene-style generator: text composited on background crops with
+    contrast-aware color (reference generate_scene_text.py:41-229)."""
+
+    background_dir: str | Path | None = None
+    font_size_range: tuple[int, int] = (16, 28)
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.backgrounds = []
+        if self.background_dir and Path(self.background_dir).is_dir():
+            self.backgrounds = sorted(
+                p for p in Path(self.background_dir).iterdir() if p.suffix.lower() in {".jpg", ".png", ".jpeg"}
+            )
+
+    def _background(self, rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+        if self.backgrounds:
+            bg = np.asarray(Image.open(self.backgrounds[int(rng.integers(0, len(self.backgrounds)))]).convert("L"))
+            if bg.shape[0] > h and bg.shape[1] > w:
+                y = int(rng.integers(0, bg.shape[0] - h))
+                x = int(rng.integers(0, bg.shape[1] - w))
+                return bg[y : y + h, x : x + w].copy()
+        # gray-noise fallback (reference generate_scene_text.py:131-137)
+        base = rng.integers(60, 200)
+        return np.clip(base + rng.standard_normal((h, w)) * 18, 0, 255).astype(np.uint8)
+
+    def sample(self, rng: np.random.Generator) -> tuple[np.ndarray, str]:
+        k = int(rng.integers(self.words_per_sample[0], self.words_per_sample[1] + 1))
+        text = " ".join(str(rng.choice(self.words)) for _ in range(k))
+        font_path = self.fonts[int(rng.integers(0, len(self.fonts)))]
+        size = int(rng.integers(self.font_size_range[0], self.font_size_range[1] + 1))
+        mask = render_text_line(text, font_path, size, fg=255, bg=0)
+        h, w = mask.shape
+        bg = self._background(rng, w, h)
+        # contrast-aware text color: black on bright, white on dark (mean > 127)
+        color = 0 if bg.mean() > 127 else 255
+        out = bg.astype(np.float32)
+        alpha = mask.astype(np.float32) / 255.0
+        out = out * (1 - alpha) + color * alpha
+        return np.clip(out, 0, 255).astype(np.uint8), text

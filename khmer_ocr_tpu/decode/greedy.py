@@ -1,0 +1,51 @@
+"""Batched greedy decoding inside jit via `lax.while_loop` with a KV cache.
+
+Reference semantics (predictor.py:85-99): start at <sos>, argmax the last
+position each step, stop at <eos> or after ``decode_max_len`` steps. The
+reference re-runs the whole decoder over the growing prefix per image; here ALL
+lanes of a batch step together through an O(1) cached decode step, and the loop
+exits as soon as every lane has emitted <eos> — this whole-batch decode is where
+the throughput target comes from (SURVEY.md §7).
+
+Finished lanes keep stepping with <pad> inputs; their outputs are frozen to
+<pad>, which the tokenizer skips. Argmax ties break to the lowest index, same as
+torch.argmax.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DecodeConfig, ModelConfig
+from ..models.layers import Ctx
+from ..models.ocr_model import decode_step, init_decode_state
+
+
+def greedy_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg: DecodeConfig):
+    """memory: (B, T, D); returns tokens (B, max_len + 1) including leading <sos>."""
+    b = memory.shape[0]
+    max_len = dec_cfg.max_len
+    ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
+    state = init_decode_state(params, memory, memory_pad_mask, model_cfg)
+
+    tokens = jnp.full((b, max_len + 1), dec_cfg.pad_idx, dtype=jnp.int32)
+    tokens = tokens.at[:, 0].set(dec_cfg.sos_idx)
+    finished = jnp.zeros((b,), dtype=bool)
+
+    def cond(carry):
+        pos, _, finished, _ = carry
+        return (pos < max_len) & ~jnp.all(finished)
+
+    def body(carry):
+        pos, tokens, finished, state = carry
+        cur = tokens[:, pos]
+        logits, state = decode_step(params, state, cur, pos, model_cfg, ctx)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, dec_cfg.pad_idx, nxt)
+        tokens = tokens.at[:, pos + 1].set(nxt)
+        finished = finished | (nxt == dec_cfg.eos_idx)
+        return pos + 1, tokens, finished, state
+
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), tokens, finished, state))
+    return tokens

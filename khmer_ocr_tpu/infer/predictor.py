@@ -1,0 +1,146 @@
+"""End-to-end recognition engine: preprocess -> jitted encode+decode -> text.
+
+Reference counterpart: ``OCRPredictor`` (predictor.py:12-199). Differences by
+design (SURVEY.md §7):
+  * The whole encode+decode path is ONE jitted function per
+    (chunk-bucket, batch-bucket, beam) shape key — compiled once, cached.
+  * Decoding is batched across all lines in the bucket (the reference decodes
+    each image sequentially in a Python loop, predictor.py:174-193).
+  * Greedy decoding runs inside `lax.while_loop` with whole-batch early exit;
+    beam search runs as fixed-K masked lanes.
+  * Weights come from either a converted reference checkpoint (.pth /
+    .safetensors) or this framework's native Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DecodeConfig, ModelConfig, OCRConfig
+from ..decode import beam_decode, greedy_decode
+from ..models.layers import Ctx
+from ..models.ocr_model import encode
+from ..preprocess import PreparedBatch, Preprocessor
+from ..tokenizer import Tokenizer
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "dec_cfg", "use_beam", "precision"))
+def _infer_jit(params, batch_stats, chunks, counts, model_cfg: ModelConfig, dec_cfg: DecodeConfig,
+               use_beam: bool, precision: str):
+    with jax.default_matmul_precision(precision):
+        ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
+        memory, pad_mask, _ = encode(params, batch_stats, chunks, counts, model_cfg, ctx, train=False)
+        if use_beam:
+            return beam_decode(params, memory, pad_mask, model_cfg, dec_cfg)
+        return greedy_decode(params, memory, pad_mask, model_cfg, dec_cfg)
+
+
+class Predictor:
+    """Loads weights once, compiles per-shape inference functions on demand."""
+
+    def __init__(
+        self,
+        model_path: str | Path | None = None,
+        vocab_path: str | Path | None = None,
+        config: OCRConfig | None = None,
+        params=None,
+        batch_stats=None,
+        model_cfg: ModelConfig | None = None,
+    ):
+        self.config = config or OCRConfig()
+        self.tokenizer = Tokenizer(vocab_path)
+        if params is not None:
+            self.params, self.batch_stats = params, batch_stats
+            self.model_cfg = model_cfg or self.config.model
+        elif model_path is not None:
+            self.params, self.batch_stats, self.model_cfg = self._load(model_path)
+        else:
+            raise ValueError("Provide either model_path or (params, batch_stats)")
+        self.preprocessor = Preprocessor(self.config.preprocess, self.config.runtime)
+        dtype = jnp.bfloat16 if self.config.runtime.compute_dtype == "bfloat16" else jnp.float32
+        if dtype != jnp.float32:
+            self.params = jax.tree.map(lambda x: x.astype(dtype), self.params)
+
+    def _load(self, model_path: str | Path):
+        model_path = Path(model_path)
+        if model_path.suffix in (".pth", ".pt", ".safetensors"):
+            from ..convert.torch_loader import load_and_convert
+
+            logger.info("Converting torch checkpoint %s", model_path.name)
+            params, stats, cfg = load_and_convert(model_path, vocab_size=len(self.tokenizer))
+        else:
+            from ..train.checkpoint import load_checkpoint
+
+            params, stats, cfg = load_checkpoint(model_path)
+        params = jax.tree.map(jnp.asarray, params)
+        stats = jax.tree.map(jnp.asarray, stats)
+        return params, stats, cfg
+
+    # -- decoding ----------------------------------------------------------
+
+    def _decode_prepared(self, batch: PreparedBatch, beam_width: int) -> list[str]:
+        dec_cfg = DecodeConfig(
+            beam_width=max(beam_width, 1),
+            max_len=self.model_cfg.decode_max_len,
+            sos_idx=self.tokenizer.sos_idx,
+            eos_idx=self.tokenizer.eos_idx,
+            pad_idx=self.tokenizer.pad_idx,
+        )
+        b = batch.chunks.shape[0]
+        padded_b = _round_up(b, self.config.runtime.batch_buckets)
+        chunks = batch.chunks
+        counts = batch.chunk_counts
+        if padded_b != b:
+            reps = padded_b - b
+            chunks = np.concatenate([chunks, np.repeat(chunks[-1:], reps, axis=0)])
+            counts = np.concatenate([counts, np.repeat(counts[-1:], reps, axis=0)])
+        tokens = _infer_jit(
+            self.params,
+            self.batch_stats,
+            jnp.asarray(chunks),
+            jnp.asarray(counts),
+            self.model_cfg,
+            dec_cfg,
+            beam_width > 1,
+            self.config.runtime.matmul_precision,
+        )
+        return self.tokenizer.decode_batch(np.asarray(tokens)[:b])
+
+    # -- public API ----------------------------------------------------------
+
+    def predict(self, image_input, beam_width: int = 3) -> str:
+        """One line image -> text (reference predictor.predict, predictor.py:48-83)."""
+        return self.predict_batch([image_input], beam_width=beam_width)[0]
+
+    def predict_batch(self, image_list: list, beam_width: int = 1, batch_size: int = 8) -> list[str]:
+        """Batched recognition (reference predict_batch, predictor.py:138-199) —
+        but decode is batched on device instead of per-image Python loops."""
+        if not image_list:
+            return []
+        results: list[str | None] = [None] * len(image_list)
+        for batch in self.preprocessor.prepare_batches(image_list, max_batch=batch_size):
+            texts = self._decode_prepared(batch, beam_width)
+            for idx, text in zip(batch.indices, texts):
+                results[idx] = text
+        return results  # type: ignore[return-value]
+
+    def warmup(self, beam_widths=(1, 3)) -> None:
+        """Pre-compile the common (bucket, batch) shapes."""
+        for bw in beam_widths:
+            img = np.full((48, 120), 255, np.uint8)
+            self.predict_batch([img], beam_width=bw)
+
+
+def _round_up(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n

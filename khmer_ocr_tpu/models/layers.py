@@ -1,0 +1,254 @@
+"""Functional transformer building blocks (post-LN, ReLU) with a KV-cache path.
+
+These reproduce the *semantics* of the reference's ``nn.TransformerEncoder`` /
+``nn.TransformerDecoder`` stacks (se_model.py:119-126, 162-208): post-layer-norm
+residual order, ReLU feed-forward, dropout on attention weights and residual
+branches, and packed-QKV-equivalent projections. The implementation is pure
+functions over parameter pytrees — everything jit/vmap/scan/pjit-composable, and
+the incremental-decode path is first-class (the reference re-runs the full decoder
+on the growing prefix every step, predictor.py:85-99; here each step is O(1) over
+a preallocated KV cache).
+
+Weights are stored as (in, out) matrices so application is ``x @ w + b`` — the
+converter transposes torch's (out, in) layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30  # finite stand-in for -inf; softmax weight underflows to exactly 0
+LN_EPS = 1e-5  # torch LayerNorm default
+
+
+class RngStream:
+    """Deterministic stream of fresh rngs derived from one key via fold_in."""
+
+    def __init__(self, rng):
+        self.rng = rng
+        self._count = 0
+
+    def next(self):
+        self._count += 1
+        return jax.random.fold_in(self.rng, self._count)
+
+
+@dataclasses.dataclass
+class Ctx:
+    """Per-call execution context threaded through the functional layers."""
+
+    num_heads: int
+    dropout: float = 0.1
+    deterministic: bool = True
+    rng: RngStream | None = None
+
+    def drop(self, x):
+        if self.deterministic or self.dropout == 0.0:
+            return x
+        keep = 1.0 - self.dropout
+        mask = jax.random.bernoulli(self.rng.next(), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def dense(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def layer_norm(p, x, eps: float = LN_EPS):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _split_heads(x, num_heads):  # (B, T, D) -> (B, H, T, hd)
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):  # (B, H, T, hd) -> (B, T, D)
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def mha(p, ctx: Ctx, q_in, kv_in, *, key_padding_mask=None, causal: bool = False):
+    """Multi-head attention matching torch ``F.multi_head_attention_forward``.
+
+    q_in: (B, Tq, D); kv_in: (B, Tk, D).
+    key_padding_mask: (B, Tk) bool, True = PAD (masked out).
+    causal: apply a lower-triangular mask (Tq == Tk).
+    """
+    h = ctx.num_heads
+    q = _split_heads(dense(p["q"], q_in), h)
+    k = _split_heads(dense(p["k"], kv_in), h)
+    v = _split_heads(dense(p["v"], kv_in), h)
+    hd = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd).astype(q.dtype)
+    if causal:
+        tq, tk = logits.shape[-2], logits.shape[-1]
+        cm = jnp.tril(jnp.ones((tq, tk), dtype=bool))
+        logits = jnp.where(cm[None, None], logits, NEG_INF)
+    if key_padding_mask is not None:
+        logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
+    w = jax.nn.softmax(logits, axis=-1)
+    w = ctx.drop(w)  # torch applies dropout to attention weights
+    out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, v))
+    return dense(p["o"], out)
+
+
+def mha_precompute_kv(p, kv_in, num_heads):
+    """Project memory K/V once for incremental cross-attention: (B, H, Tk, hd)."""
+    k = _split_heads(dense(p["k"], kv_in), num_heads)
+    v = _split_heads(dense(p["v"], kv_in), num_heads)
+    return k, v
+
+
+def mha_step(p, ctx: Ctx, q_in, k_cache, v_cache, valid_mask):
+    """One-query attention over cached K/V.
+
+    q_in: (B, D) current-position input; k_cache/v_cache: (B, H, T, hd);
+    valid_mask: (B, T) bool, True = attendable.
+    Returns (B, D).
+    """
+    h = ctx.num_heads
+    q = dense(p["q"], q_in)  # (B, D)
+    b, d = q.shape
+    q = q.reshape(b, h, 1, d // h)
+    hd = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache) / np.sqrt(hd).astype(q.dtype)
+    logits = jnp.where(valid_mask[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v_cache).reshape(b, d)
+    return dense(p["o"], out)
+
+
+def mha_project_kv_step(p, x, num_heads):
+    """Project a single position's K/V for writing into a cache: (B, H, hd)."""
+    b, d = x.shape
+    k = dense(p["k"], x).reshape(b, num_heads, d // num_heads)
+    v = dense(p["v"], x).reshape(b, num_heads, d // num_heads)
+    return k, v
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder layers (post-LN, ReLU — torch defaults)
+# ---------------------------------------------------------------------------
+
+
+def ffn(p, ctx: Ctx, x):
+    h = jax.nn.relu(dense(p["lin1"], x))
+    h = ctx.drop(h)
+    return dense(p["lin2"], h)
+
+
+def encoder_layer(p, ctx: Ctx, x, key_padding_mask=None):
+    sa = mha(p["self"], ctx, x, x, key_padding_mask=key_padding_mask)
+    x = layer_norm(p["ln1"], x + ctx.drop(sa))
+    x = layer_norm(p["ln2"], x + ctx.drop(ffn(p, ctx, x)))
+    return x
+
+
+def decoder_layer(p, ctx: Ctx, x, memory, *, tgt_key_padding_mask=None, memory_key_padding_mask=None):
+    sa = mha(p["self"], ctx, x, x, key_padding_mask=tgt_key_padding_mask, causal=True)
+    x = layer_norm(p["ln1"], x + ctx.drop(sa))
+    ca = mha(p["cross"], ctx, x, memory, key_padding_mask=memory_key_padding_mask)
+    x = layer_norm(p["ln2"], x + ctx.drop(ca))
+    x = layer_norm(p["ln3"], x + ctx.drop(ffn(p, ctx, x)))
+    return x
+
+
+def decoder_layer_step(p, ctx: Ctx, x, pos, self_k, self_v, mem_k, mem_v, mem_valid):
+    """Incremental decode: one position for the whole batch of lanes.
+
+    x: (B, D) input at position ``pos``. self_k/self_v: (B, H, Tmax, hd) caches —
+    this position's K/V are written at index ``pos`` and the updated caches
+    returned. mem_k/mem_v: precomputed memory projections; mem_valid: (B, Tm).
+    """
+    k_t, v_t = mha_project_kv_step(p["self"], x, ctx.num_heads)
+    self_k = jax.lax.dynamic_update_index_in_dim(self_k, k_t, pos, axis=2)
+    self_v = jax.lax.dynamic_update_index_in_dim(self_v, v_t, pos, axis=2)
+    t_max = self_k.shape[2]
+    attendable = jnp.arange(t_max)[None, :] <= pos  # (1, Tmax) -> broadcast (B, Tmax)
+    attendable = jnp.broadcast_to(attendable, (x.shape[0], t_max))
+    sa = mha_step(p["self"], ctx, x, self_k, self_v, attendable)
+    x = layer_norm(p["ln1"], x + sa)
+    ca = mha_step(p["cross"], ctx, x, mem_k, mem_v, mem_valid)
+    x = layer_norm(p["ln2"], x + ca)
+    x = layer_norm(p["ln3"], x + ffn(p, ctx, x))
+    return x, self_k, self_v
+
+
+# ---------------------------------------------------------------------------
+# initializers (torch-default-matching, for training from scratch)
+# ---------------------------------------------------------------------------
+
+
+def linear_init(rng, in_dim, out_dim):
+    """torch nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in));
+    bias U(+-1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(rng)
+    bound = 1.0 / np.sqrt(in_dim)
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound),
+    }
+
+
+def xavier_linear_init(rng, in_dim, out_dim, bias_zero=True):
+    """torch MHA in_proj: xavier_uniform weights, zero bias."""
+    a = np.sqrt(6.0 / (in_dim + out_dim))
+    w = jax.random.uniform(rng, (in_dim, out_dim), jnp.float32, -a, a)
+    return {"w": w, "b": jnp.zeros((out_dim,), jnp.float32)}
+
+
+def mha_init(rng, dim):
+    kq, kk, kv, ko = jax.random.split(rng, 4)
+    p = {
+        "q": xavier_linear_init(kq, dim, dim),
+        "k": xavier_linear_init(kk, dim, dim),
+        "v": xavier_linear_init(kv, dim, dim),
+        "o": linear_init(ko, dim, dim),
+    }
+    p["o"]["b"] = jnp.zeros_like(p["o"]["b"])  # torch MHA zeroes out_proj bias
+    return p
+
+
+def ln_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def encoder_layer_init(rng, dim, ffn_dim):
+    ka, k1, k2 = jax.random.split(rng, 3)
+    return {
+        "self": mha_init(ka, dim),
+        "ln1": ln_init(dim),
+        "ln2": ln_init(dim),
+        "lin1": linear_init(k1, dim, ffn_dim),
+        "lin2": linear_init(k2, ffn_dim, dim),
+    }
+
+
+def decoder_layer_init(rng, dim, ffn_dim):
+    ka, kc, k1, k2 = jax.random.split(rng, 4)
+    return {
+        "self": mha_init(ka, dim),
+        "cross": mha_init(kc, dim),
+        "ln1": ln_init(dim),
+        "ln2": ln_init(dim),
+        "ln3": ln_init(dim),
+        "lin1": linear_init(k1, dim, ffn_dim),
+        "lin2": linear_init(k2, ffn_dim, dim),
+    }
+
+
+def trunc_normal(rng, shape, std):
+    """torch nn.init.trunc_normal_(std=s): N(0, s) truncated to +-2s."""
+    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32)

@@ -1,0 +1,191 @@
+"""The chunk-and-merge KhmerOCR model: encode, teacher-forced decode, and
+incremental decode-step — all pure functions over a parameter pytree.
+
+Reference: ``KhmerOCR`` (se_model.py:210-288 / vgg_model.py / resnet_model.py):
+CNN backbone over fixed 48x100 chunks -> ViT-style patch projection (32 tokens
+per chunk) -> 2-layer per-chunk transformer encoder -> per-image concat +
+learned global positions (4096) -> BiLSTM smoothing (SE variant) -> 2-layer
+transformer decoder over characters.
+
+TPU-first redesign vs the reference forward:
+  * The reference regroups chunks with Python loops over ragged lists
+    (se_model.py:253-262) and `pad_sequence`. Here a batch is a static
+    (B, N, H, W) array + chunk mask; "merge" is a reshape — chunks of one image
+    are contiguous along N, so `(B, N, 32, D) -> (B, N*32, D)` IS the
+    concatenation, and padding chunks land at the tail exactly like
+    `pad_sequence`'s zero tail.
+  * Memory-key padding masks are computed from the chunk mask (32 tokens per
+    chunk).
+  * Incremental decoding gets first-class cache support (`init_decode_state` /
+    `decode_step`) instead of re-running the decoder on the growing prefix
+    (predictor.py:85-99).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from . import backbones
+from .bilstm import bilstm_apply, bilstm_init
+from .layers import (
+    Ctx,
+    decoder_layer,
+    decoder_layer_init,
+    decoder_layer_step,
+    dense,
+    encoder_layer,
+    encoder_layer_init,
+    linear_init,
+    mha_precompute_kv,
+    trunc_normal,
+)
+
+CHUNK_TOKENS = 32  # patch tokens per 48x100 chunk: (2,32) feature map, k=(2,1)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_model(rng, cfg: ModelConfig):
+    """Returns (params, batch_stats) pytrees."""
+    keys = jax.random.split(rng, 12)
+    backbone_p, backbone_s = backbones.BACKBONE_INIT[cfg.backbone](keys[0])
+    d = cfg.emb_dim
+    params = {
+        "backbone": backbone_p,
+        "patch": {
+            # torch Conv2d(512, D, k=(2,1)) repacked as (2*512, D) dense over the
+            # flattened (H=2, C=512) axis; fan_in = 512*2*1.
+            "proj": linear_init(keys[1], 1024, d),
+            "pos_emb": trunc_normal(keys[2], (cfg.patch_max, d), 0.02),
+        },
+        "enc": [encoder_layer_init(k, d, cfg.enc_ffn_dim) for k in jax.random.split(keys[3], cfg.enc_layers)],
+        "global_pos": trunc_normal(keys[4], (cfg.max_global_len, d), 0.02),
+        "dec": {
+            "tok_emb": jax.random.normal(keys[5], (cfg.vocab_size, d), jnp.float32)
+            .at[cfg.pad_idx]
+            .set(0.0),
+            "pos_emb": trunc_normal(keys[6], (cfg.decode_max_len, d), 0.1),
+            "layers": [
+                decoder_layer_init(k, d, cfg.dec_ffn_dim) for k in jax.random.split(keys[7], cfg.dec_layers)
+            ],
+            "out": linear_init(keys[8], d, cfg.vocab_size),
+        },
+    }
+    if cfg.use_bilstm:
+        params["bilstm"] = bilstm_init(keys[9], d, d // 2)
+    return params, backbone_s
+
+
+# ---------------------------------------------------------------------------
+# encode: chunks -> memory
+# ---------------------------------------------------------------------------
+
+
+def patch_apply(p, f, ctx_dtype=None):
+    """(B, 2, 32, C) backbone features -> (B, 32, D) tokens.
+
+    Equivalent to the reference PatchEncoder's Conv2d(k=(2,1), s=(2,1)) +
+    flatten + local positions (se_model.py:81-117): each width column's two
+    height rows are concatenated and densely projected.
+    """
+    b = f.shape[0]
+    x = f.transpose(0, 2, 1, 3).reshape(b, CHUNK_TOKENS, -1)  # (B, 32, 2*C)
+    x = dense({k: v.astype(x.dtype) for k, v in p["proj"].items()}, x)
+    return x + p["pos_emb"][:CHUNK_TOKENS].astype(x.dtype)
+
+
+def encode(params, batch_stats, chunks, chunk_counts, cfg: ModelConfig, ctx: Ctx, train: bool = False):
+    """chunks: (B, N, H, W) normalized; chunk_counts: (B,) valid chunks.
+
+    Returns (memory (B, N*32, D), memory_pad_mask (B, N*32) True=pad, new_stats).
+    """
+    b, n, h, w = chunks.shape
+    x = chunks.reshape(b * n, h, w, 1)
+    f, new_stats = backbones.BACKBONE_APPLY[cfg.backbone](params["backbone"], batch_stats, x, train)
+    tok = patch_apply(params["patch"], f)  # (B*N, 32, D)
+    for layer_p in params["enc"]:
+        tok = encoder_layer(layer_p, ctx, tok)
+    d = tok.shape[-1]
+    memory = tok.reshape(b, n * CHUNK_TOKENS, d)
+    lengths = chunk_counts.astype(jnp.int32) * CHUNK_TOKENS
+    t = n * CHUNK_TOKENS
+    memory = memory + params["global_pos"][:t].astype(memory.dtype)
+    if cfg.use_bilstm:
+        memory = bilstm_apply(params["bilstm"], memory, lengths)
+    pad_mask = jnp.arange(t)[None, :] >= lengths[:, None]  # True = padding
+    return memory, pad_mask, new_stats
+
+
+# ---------------------------------------------------------------------------
+# teacher-forced decode (training / eval forward)
+# ---------------------------------------------------------------------------
+
+
+def decode_train(params, memory, memory_pad_mask, tgt_tokens, cfg: ModelConfig, ctx: Ctx):
+    """tgt_tokens: (B, T) int32 -> logits (B, T, V). Causal + pad masking as in
+    TransformerDecoderWrapper.forward (se_model.py:182-207)."""
+    dec = params["dec"]
+    t = tgt_tokens.shape[1]
+    x = dec["tok_emb"][tgt_tokens] + dec["pos_emb"][:t][None]
+    x = x.astype(memory.dtype)
+    tgt_pad = tgt_tokens == cfg.pad_idx
+    for layer_p in dec["layers"]:
+        x = decoder_layer(
+            layer_p, ctx, x, memory,
+            tgt_key_padding_mask=tgt_pad,
+            memory_key_padding_mask=memory_pad_mask,
+        )
+    return dense(dec["out"], x)
+
+
+def forward_train(params, batch_stats, chunks, chunk_counts, tgt_in, cfg: ModelConfig, ctx: Ctx, train: bool):
+    """Full teacher-forced forward: (chunks, tgt_in) -> (logits, new_batch_stats)."""
+    memory, pad_mask, new_stats = encode(params, batch_stats, chunks, chunk_counts, cfg, ctx, train)
+    logits = decode_train(params, memory, pad_mask, tgt_in, cfg, ctx)
+    return logits, new_stats
+
+
+# ---------------------------------------------------------------------------
+# incremental decode
+# ---------------------------------------------------------------------------
+
+
+def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig):
+    """Precompute per-layer cross-attention K/V and allocate self-attention caches.
+
+    Returns a pytree: {'mem_kv': [(k, v)] per layer, 'self_kv': [(k, v)] per
+    layer with shape (B, H, max_len, hd), 'mem_valid': (B, Tm)}.
+    """
+    b = memory.shape[0]
+    h, hd = cfg.num_heads, cfg.head_dim
+    mem_kv = [mha_precompute_kv(lp["cross"], memory, h) for lp in params["dec"]["layers"]]
+    self_kv = [
+        (
+            jnp.zeros((b, h, cfg.decode_max_len, hd), memory.dtype),
+            jnp.zeros((b, h, cfg.decode_max_len, hd), memory.dtype),
+        )
+        for _ in params["dec"]["layers"]
+    ]
+    return {"mem_kv": mem_kv, "self_kv": self_kv, "mem_valid": ~memory_pad_mask}
+
+
+def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx):
+    """One decode step for a batch of lanes.
+
+    tokens: (B,) int32 current input tokens; pos: scalar int32 position.
+    Returns (logits (B, V), new_state).
+    """
+    dec = params["dec"]
+    x = dec["tok_emb"][tokens] + jax.lax.dynamic_index_in_dim(dec["pos_emb"], pos, axis=0, keepdims=False)
+    x = x.astype(state["mem_kv"][0][0].dtype)
+    new_self = []
+    for lp, (sk, sv), (mk, mv) in zip(dec["layers"], state["self_kv"], state["mem_kv"]):
+        x, sk, sv = decoder_layer_step(lp, ctx, x, pos, sk, sv, mk, mv, state["mem_valid"])
+        new_self.append((sk, sv))
+    logits = dense(dec["out"], x)
+    return logits, {**state, "self_kv": new_self}

@@ -1,0 +1,164 @@
+"""Host-side image preprocessing: resize → chunk → normalize → bucket.
+
+Reference semantics (netra_ocr/recognition/preprocessor.py:8-58):
+  * grayscale, resize to height 48 with PIL BILINEAR, width = max(50, round-down
+    of 48 * aspect_ratio)
+  * slice the width into 100-px chunks with stride 84 (overlap 16); windows start
+    at 0 while start < W; the last short chunk is white-padded (1.0, i.e. before
+    normalization) to 100
+  * normalize (x - 0.5) / 0.5
+
+TPU-first redesign: instead of the reference's Python list-of-chunks per image,
+a whole batch becomes ONE statically shaped array ``(B, N_bucket, H, CW)`` plus a
+chunk-validity mask. Lines are grouped by chunk count into a fixed set of buckets
+(config.runtime.chunk_buckets) so each (bucket, batch) shape compiles exactly once.
+Chunk extraction is a zero-copy strided view over the white-padded image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from .config import PreprocessConfig, RuntimeConfig
+
+WHITE = 1.0  # pre-normalization white padding value (preprocessor.py:26)
+
+
+def load_grayscale(image_source) -> Image.Image:
+    """Accepts a path, PIL image, or HxW / HxWxC numpy array; returns mode-L PIL."""
+    if isinstance(image_source, (str, Path)):
+        p = Path(image_source)
+        if not p.exists():
+            raise FileNotFoundError(f"Image not found: {p}")
+        return Image.open(p).convert("L")
+    if isinstance(image_source, Image.Image):
+        return image_source.convert("L")
+    if isinstance(image_source, np.ndarray):
+        arr = image_source
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr * 255.0 if arr.max() <= 1.0 else arr, 0, 255).astype(np.uint8)
+        return Image.fromarray(arr).convert("L")
+    raise ValueError(f"Unsupported image source type: {type(image_source)!r}")
+
+
+def resize_line(image: Image.Image, cfg: PreprocessConfig) -> np.ndarray:
+    """Resize to target height preserving aspect ratio; returns float32 HxW in [0,1].
+
+    Width = max(min_width, int(img_height * aspect_ratio)) — exact reference
+    arithmetic (preprocessor.py:45-48), including the int() truncation.
+    """
+    aspect_ratio = image.width / image.height
+    new_width = max(cfg.min_width, int(cfg.img_height * aspect_ratio))
+    image = image.resize((new_width, cfg.img_height), Image.Resampling.BILINEAR)
+    # torchvision ToTensor equivalence: uint8 / 255.
+    return np.asarray(image, dtype=np.float32) / 255.0
+
+
+def chunk_line(line: np.ndarray, cfg: PreprocessConfig, n_chunks: int | None = None) -> np.ndarray:
+    """Slice an (H, W) float line into (N, H, chunk_width) windows.
+
+    Windows start at multiples of the stride while start < W; anything past W is
+    white (1.0). If ``n_chunks`` exceeds the natural count, extra all-white padding
+    chunks are appended (these are masked out downstream).
+    """
+    h, w = line.shape
+    natural = cfg.num_chunks(w)
+    n = natural if n_chunks is None else n_chunks
+    assert n >= natural, f"bucket {n} smaller than natural chunk count {natural}"
+    padded_w = (n - 1) * cfg.chunk_stride + cfg.chunk_width
+    padded = np.full((h, padded_w), WHITE, dtype=np.float32)
+    padded[:, :w] = line
+    s0, s1 = padded.strides
+    view = np.lib.stride_tricks.as_strided(
+        padded,
+        shape=(n, h, cfg.chunk_width),
+        strides=(cfg.chunk_stride * s1, s0, s1),
+    )
+    return np.ascontiguousarray(view)
+
+
+def normalize(x: np.ndarray) -> np.ndarray:
+    return (x - 0.5) / 0.5
+
+
+@dataclasses.dataclass
+class PreparedBatch:
+    """A statically shaped recognition batch.
+
+    chunks:       (B, N, H, CW) float32, normalized to [-1, 1]
+    chunk_counts: (B,) int32 — true chunks per line (<= N)
+    indices:      original positions of these lines in the caller's list
+    """
+
+    chunks: np.ndarray
+    chunk_counts: np.ndarray
+    indices: list[int]
+
+    @property
+    def chunk_mask(self) -> np.ndarray:
+        n = self.chunks.shape[1]
+        return np.arange(n)[None, :] < self.chunk_counts[:, None]
+
+
+def bucket_for(n_chunks: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n_chunks <= b:
+            return b
+    return buckets[-1]
+
+
+class Preprocessor:
+    """Batch preprocessor producing bucketed static-shape arrays."""
+
+    def __init__(self, cfg: PreprocessConfig | None = None, runtime: RuntimeConfig | None = None):
+        self.cfg = cfg or PreprocessConfig()
+        self.runtime = runtime or RuntimeConfig()
+
+    def process_line(self, image_source, n_chunks: int | None = None) -> np.ndarray:
+        """Single line -> (N, H, CW) normalized chunks (reference `process`)."""
+        line = resize_line(load_grayscale(image_source), self.cfg)
+        return normalize(chunk_line(line, self.cfg, n_chunks))
+
+    def prepare_batches(
+        self, image_sources: list, max_batch: int | None = None
+    ) -> list[PreparedBatch]:
+        """Group lines into (chunk-bucket, batch) groups of static shape.
+
+        Lines whose natural chunk count exceeds the largest bucket are truncated to
+        it — matching the reference's global-position truncation at 4096 tokens
+        (se_model.py:267-270): 128 chunks * 32 tokens = 4096.
+        """
+        cfg, buckets = self.cfg, self.runtime.chunk_buckets
+        lines = [resize_line(load_grayscale(src), cfg) for src in image_sources]
+        grouped: dict[int, list[int]] = {}
+        for i, line in enumerate(lines):
+            n = min(cfg.num_chunks(line.shape[1]), buckets[-1])
+            grouped.setdefault(bucket_for(n, buckets), []).append(i)
+
+        out = []
+        for bucket_n, idxs in sorted(grouped.items()):
+            step = max_batch or len(idxs)
+            for j in range(0, len(idxs), step):
+                part = idxs[j : j + step]
+                chunks = np.stack(
+                    [
+                        normalize(
+                            chunk_line(
+                                lines[i][:, : (bucket_n - 1) * cfg.chunk_stride + cfg.chunk_width],
+                                cfg,
+                                bucket_n,
+                            )
+                        )
+                        for i in part
+                    ]
+                )
+                counts = np.array(
+                    [min(cfg.num_chunks(lines[i].shape[1]), bucket_n) for i in part],
+                    dtype=np.int32,
+                )
+                out.append(PreparedBatch(chunks=chunks, chunk_counts=counts, indices=part))
+        return out

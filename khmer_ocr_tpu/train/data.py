@@ -1,0 +1,151 @@
+"""Training input pipeline: samples -> augment -> chunk -> static bucketed batches.
+
+Reference counterpart: ``KhmerOCRDataset`` + ``khmer_collate_fn``
+(CNN-Transformer.ipynb [cell 9]) — which emit ragged Python lists of per-image
+chunk tensors. TPU redesign (SURVEY.md §7 "hard parts" #1): every batch is a
+static (B, N_bucket, 48, 100) array + (B,) chunk counts + (B, L_bucket) labels.
+Samples are grouped by chunk-count bucket and label-length bucket so the train
+step compiles once per (N, L) pair; a fixed batch size is kept by padding the
+tail batch with repeats (masked out of the loss by zero-weighting? no — repeats
+are real samples; the gradient double-counts <= B-1 of them once per epoch tail,
+which matches the reference's drop_last=False semantics closely enough and keeps
+shapes static).
+
+Host-side work (PIL resize, augmentation, chunk slicing) runs in a thread pool —
+the analog of the reference's DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..config import PreprocessConfig, TrainConfig
+from ..preprocess import chunk_line, load_grayscale, normalize, resize_line
+from ..tokenizer import Tokenizer
+from .augment import Augmenter
+
+LABEL_BUCKETS = (16, 32, 64, 128, 256)
+CHUNK_BUCKETS_TRAIN = (1, 2, 3, 4, 6, 8, 12, 16)
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class Batch:
+    chunks: np.ndarray  # (B, N, H, CW) normalized
+    chunk_counts: np.ndarray  # (B,)
+    labels: np.ndarray  # (B, L) int32, <sos>...<eos><pad>*
+    texts: list[str]
+
+    def as_dict(self):
+        return {"chunks": self.chunks, "chunk_counts": self.chunk_counts, "labels": self.labels}
+
+
+class LineDataset:
+    """In-memory list of (image, text) samples with per-epoch random subsampling
+    (the reference samples 50k of 200k each epoch, [cell 17])."""
+
+    def __init__(self, samples: list, tokenizer: Tokenizer | None = None,
+                 preprocess: PreprocessConfig | None = None, augment: bool = False,
+                 train_cfg: TrainConfig | None = None):
+        self.samples = samples
+        self.tokenizer = tokenizer or Tokenizer()
+        self.pre = preprocess or PreprocessConfig()
+        self.train_cfg = train_cfg or TrainConfig()
+        self.augmenter = Augmenter(self.train_cfg.augment_prob) if augment else None
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _prepare_one(self, idx: int, rng: np.random.Generator):
+        image, text = self.samples[idx]
+        line = resize_line(load_grayscale(image), self.pre)
+        if self.augmenter is not None:
+            line = self.augmenter(line, rng)
+        n = min(self.pre.num_chunks(line.shape[1]), CHUNK_BUCKETS_TRAIN[-1])
+        return line, n, text
+
+    def epoch_batches(self, batch_size: int, rng: np.random.Generator,
+                      sample_size: int | None = None, num_workers: int = 8):
+        """Yields statically-shaped Batch objects covering a random epoch subset."""
+        idxs = np.arange(len(self.samples))
+        if sample_size is not None and sample_size < len(idxs):
+            idxs = rng.choice(idxs, size=sample_size, replace=False)
+        else:
+            rng.shuffle(idxs)
+
+        # Prepare (augment+resize) in parallel, then group by bucket.
+        child_seeds = rng.integers(0, 2**31, size=len(idxs))
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            prepared = list(
+                pool.map(lambda t: self._prepare_one(t[0], np.random.default_rng(t[1])),
+                         zip(idxs.tolist(), child_seeds.tolist()))
+            )
+
+        groups: dict[tuple[int, int], list] = {}
+        for line, n, text in prepared:
+            ids = self.tokenizer.encode(text)
+            lb = _bucket(len(ids), LABEL_BUCKETS)
+            nb = _bucket(n, CHUNK_BUCKETS_TRAIN)
+            groups.setdefault((nb, lb), []).append((line, n, ids, text))
+
+        for (nb, lb), items in groups.items():
+            for j in range(0, len(items), batch_size):
+                part = items[j : j + batch_size]
+                while len(part) < batch_size:  # static batch: pad with repeats
+                    part = part + part[: batch_size - len(part)]
+                yield self._assemble(part, nb, lb)
+
+    def _assemble(self, part, nb: int, lb: int) -> Batch:
+        b = len(part)
+        chunks = np.zeros((b, nb, self.pre.img_height, self.pre.chunk_width), np.float32)
+        counts = np.zeros((b,), np.int32)
+        labels = np.full((b, lb), self.tokenizer.pad_idx, np.int32)
+        texts = []
+        for i, (line, n, ids, text) in enumerate(part):
+            max_w = (nb - 1) * self.pre.chunk_stride + self.pre.chunk_width
+            chunks[i] = normalize(chunk_line(line[:, :max_w], self.pre, nb))
+            counts[i] = n
+            if len(ids) > lb:
+                ids = ids[: lb - 1] + [self.tokenizer.eos_idx]
+            labels[i, : len(ids)] = ids
+            texts.append(text)
+        return Batch(chunks, counts, labels, texts)
+
+
+def load_folder_dataset(root, tokenizer=None) -> LineDataset:
+    """Load an images/+labels/ folder pair (KHOB test-set layout, [cell 19])."""
+    from pathlib import Path
+
+    from ..metrics import IMG_EXTS
+
+    root = Path(root)
+    samples = []
+    for img in sorted((root / "images").iterdir()):
+        if img.suffix.lower() not in IMG_EXTS:
+            continue
+        lab = root / "labels" / (img.stem + ".txt")
+        if lab.exists():
+            samples.append((str(img), lab.read_text(encoding="utf-8").strip()))
+    return LineDataset(samples, tokenizer)
+
+
+def load_hf_dataset(names: list[str], tokenizer=None, **kw) -> LineDataset:
+    """Materialize HuggingFace datasets with 'image' and 'label' columns
+    (reference [cell 11])."""
+    import datasets as hfds
+
+    samples = []
+    for name in names:
+        ds = hfds.load_dataset(name, split="train") if isinstance(name, str) else name
+        for ex in ds:
+            samples.append((ex["image"], ex["label"]))
+    return LineDataset(samples, tokenizer, **kw)

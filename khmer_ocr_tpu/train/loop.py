@@ -1,0 +1,100 @@
+"""Full training loop: staged LR, per-epoch subsampling, eye-test decode,
+periodic checkpoints — the reference recipe (CNN-Transformer.ipynb [cell 17])
+on top of jitted train steps and mesh-sharded batches.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..config import OCRConfig
+from ..tokenizer import Tokenizer
+from .checkpoint import save_checkpoint
+from .data import LineDataset
+from .schedule import staged_cyclic_lr
+from .step import init_train_state, make_eval_logits_fn, make_optimizer, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def _eye_test(tokenizer: Tokenizer, logits, batch) -> tuple[str, str]:
+    """Argmax-decode the first sample vs ground truth (notebook 'eye test')."""
+    pred = np.argmax(np.asarray(logits[0]), axis=-1)
+    true = np.asarray(batch["labels"][0, 1:])
+    skip = {tokenizer.pad_idx, tokenizer.sos_idx, tokenizer.eos_idx}
+    to_text = lambda ids: "".join(tokenizer.idx2char.get(int(i), "") for i in ids if int(i) not in skip)
+    return to_text(true), to_text(pred)
+
+
+def train(
+    dataset: LineDataset,
+    config: OCRConfig | None = None,
+    checkpoint_dir: str | Path = "checkpoints",
+    mesh=None,
+    log_every: int = 100,
+    eye_test_every: int = 500,
+    num_epochs: int | None = None,
+):
+    """Train the configured model; returns the final TrainState."""
+    config = config or OCRConfig()
+    tcfg, mcfg = config.train, config.model
+    tokenizer = dataset.tokenizer
+    mcfg = mcfg.replace(vocab_size=len(tokenizer), pad_idx=tokenizer.pad_idx)
+
+    sample_size = min(tcfg.epoch_sample_size, len(dataset))
+    steps_per_epoch = max(sample_size // tcfg.batch_size, 1)
+    schedule = staged_cyclic_lr(tcfg, steps_per_epoch)
+    optimizer = make_optimizer(schedule)
+    rng = jax.random.PRNGKey(tcfg.seed)
+    state = init_train_state(rng, mcfg, optimizer)
+    train_step = make_train_step(mcfg, optimizer, precision=config.runtime.matmul_precision)
+    eval_logits = make_eval_logits_fn(mcfg, precision=config.runtime.matmul_precision)
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        def shard_batch(b):
+            return {
+                "chunks": jax.device_put(b["chunks"], batch_sharding(mesh, 4)),
+                "chunk_counts": jax.device_put(b["chunk_counts"], batch_sharding(mesh, 1)),
+                "labels": jax.device_put(b["labels"], batch_sharding(mesh, 2)),
+            }
+    else:
+        shard_batch = lambda b: b
+
+    np_rng = np.random.default_rng(tcfg.seed)
+    ckpt_dir = Path(checkpoint_dir)
+    total_epochs = num_epochs or tcfg.num_epochs
+    step = 0
+    for epoch in range(1, total_epochs + 1):
+        running, t0 = 0.0, time.time()
+        for bidx, batch in enumerate(
+            dataset.epoch_batches(tcfg.batch_size, np_rng, sample_size=sample_size)
+        ):
+            bd = shard_batch(batch.as_dict())
+            state, metrics = train_step(state, bd, jax.random.fold_in(rng, step))
+            step += 1
+            running += float(metrics["loss"])
+            if (bidx + 1) % log_every == 0:
+                logger.info(
+                    "epoch %d batch %d loss %.4f (%.1f lines/s)",
+                    epoch, bidx + 1, running / log_every,
+                    log_every * tcfg.batch_size / (time.time() - t0),
+                )
+                running, t0 = 0.0, time.time()
+            if (bidx + 1) % eye_test_every == 0:
+                logits = eval_logits(state.params, state.batch_stats, bd)
+                true, pred = _eye_test(tokenizer, logits, bd)
+                logger.info("eye test | TRUE: %s | PRED: %s", true, pred)
+        if epoch % tcfg.checkpoint_every_epochs == 0 or epoch == total_epochs:
+            path = save_checkpoint(
+                ckpt_dir / f"epoch{epoch:03d}", state.params, state.batch_stats, mcfg,
+                opt_state=state.opt_state, step=step,
+            )
+            logger.info("checkpoint saved: %s", path)
+    return state

@@ -1,0 +1,44 @@
+"""Staged cyclic learning-rate schedule.
+
+Reference recipe (CNN-Transformer.ipynb [cell 17], readme.md:105-114):
+  * epochs 1-15:  fixed 1e-4
+  * epochs 16-30: torch CyclicLR triangular between 1e-5 and 1e-4
+  * epochs 31+:   CyclicLR between 1e-6 and 1e-5
+with ``step_size_up = steps_per_epoch // 2`` and the scheduler *recreated every
+epoch*, so the cycle counter resets at each epoch boundary — exactly one
+triangle per epoch (up over the first half, down over the second).
+
+torch CyclicLR triangular: ``cycle = floor(1 + it / (2*step_size))``,
+``x = |it/step_size - 2*cycle + 1|``, ``lr = base + (max-base) * max(0, 1-x)``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import TrainConfig
+
+
+def _triangular(it, base: float, peak: float, step_size: int):
+    step_size = max(step_size, 1)
+    cycle = jnp.floor(1 + it / (2 * step_size))
+    x = jnp.abs(it / step_size - 2 * cycle + 1)
+    return base + (peak - base) * jnp.maximum(0.0, 1.0 - x)
+
+
+def staged_cyclic_lr(cfg: TrainConfig, steps_per_epoch: int):
+    """Returns an optax-compatible schedule fn: global step -> lr."""
+    step_size = steps_per_epoch // 2
+
+    def schedule(step):
+        epoch = step // steps_per_epoch + 1  # 1-based epochs
+        it = step % steps_per_epoch  # scheduler recreated per epoch
+        lr2 = _triangular(it, cfg.stage2_lr[0], cfg.stage2_lr[1], step_size)
+        lr3 = _triangular(it, cfg.stage3_lr[0], cfg.stage3_lr[1], step_size)
+        return jnp.where(
+            epoch < cfg.stage2_start_epoch,
+            cfg.base_lr,
+            jnp.where(epoch < cfg.stage3_start_epoch, lr2, lr3),
+        )
+
+    return schedule

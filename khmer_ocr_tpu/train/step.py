@@ -1,0 +1,94 @@
+"""Training state and the jitted/pjit-able train step.
+
+Reference training loop (CNN-Transformer.ipynb [cell 17]): Adam(1e-4,
+betas=(0.9, 0.999)), CrossEntropy(ignore_index=pad), teacher forcing with
+shift-by-one (`logits = model(chunks, labels[:, :-1])` vs `labels[:, 1:]`),
+per-batch LR scheduling. Here the whole step — forward, masked CE, backward,
+Adam update, BN running-stat update — is one jitted function over statically
+shaped (B, N, H, W) chunk arrays + (B, L) labels, shardable over a mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig, TrainConfig
+from ..models.layers import Ctx, RngStream
+from ..models.ocr_model import forward_train, init_model
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(schedule) -> optax.GradientTransformation:
+    # torch Adam defaults: betas=(0.9, 0.999), eps=1e-8 — matches the notebook.
+    return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def init_train_state(rng, model_cfg: ModelConfig, optimizer) -> TrainState:
+    params, batch_stats = init_model(rng, model_cfg)
+    return TrainState(params, batch_stats, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def loss_fn(params, batch_stats, batch, model_cfg: ModelConfig, rng, train: bool = True):
+    """Masked CE over shifted targets. batch: dict(chunks, chunk_counts, labels).
+
+    labels: (B, L) with <sos> ... <eos> <pad>*; input = labels[:, :-1],
+    target = labels[:, 1:], pad positions excluded from the mean (torch
+    CrossEntropyLoss(ignore_index=pad) semantics).
+    """
+    ctx = Ctx(num_heads=model_cfg.num_heads, dropout=model_cfg.dropout,
+              deterministic=not train, rng=RngStream(rng) if train else None)
+    labels = batch["labels"]
+    logits, new_stats = forward_train(
+        params, batch_stats, batch["chunks"], batch["chunk_counts"], labels[:, :-1], model_cfg, ctx, train
+    )
+    targets = labels[:, 1:]
+    mask = (targets != model_cfg.pad_idx).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    loss = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return loss, new_stats
+
+
+def make_train_step(model_cfg: ModelConfig, optimizer, precision: str = "default", donate: bool = True):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch, rng):
+        with jax.default_matmul_precision(precision):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, new_stats), grads = grad_fn(
+                state.params, state.batch_stats, batch, model_cfg, rng, True
+            )
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_logits_fn(model_cfg: ModelConfig, precision: str = "default"):
+    """Teacher-forced logits for the 'eye test' (notebook [cell 17]) and eval loss."""
+
+    @partial(jax.jit)
+    def eval_logits(params, batch_stats, batch):
+        with jax.default_matmul_precision(precision):
+            ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
+            logits, _ = forward_train(
+                params, batch_stats, batch["chunks"], batch["chunk_counts"],
+                batch["labels"][:, :-1], model_cfg, ctx, False,
+            )
+        return logits
+
+    return eval_logits

@@ -1,0 +1,85 @@
+"""Torch-only oracle dump (run as a subprocess; never imports JAX).
+
+Builds the reference module tree with random weights and records its state dict
+plus reference activations/decodes for fixed inputs into an .npz file. The
+pytest process then runs only JAX — torch's thread pools and XLA:CPU
+executables deadlock intermittently when mixed in one process (see
+tests/conftest.py).
+
+Usage: python oracle_dump.py <backbone> <out.npz>
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import torch
+
+from torch_oracle import KhmerOCR, oracle_beam, oracle_encode, oracle_greedy
+
+VOCAB = 124
+
+
+def randomize_bn(model: torch.nn.Module, gen: torch.Generator):
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=gen) * 0.3)
+            m.running_var.copy_(torch.rand(m.num_features, generator=gen) + 0.5)
+            m.weight.data.copy_(torch.rand(m.num_features, generator=gen) + 0.5)
+            m.bias.data.copy_(torch.randn(m.num_features, generator=gen) * 0.1)
+
+
+def rand_chunks(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1, 1, size=(n, 1, 48, 100)).astype(np.float32)
+
+
+def main(backbone: str, out_path: str) -> None:
+    torch.manual_seed(0)
+    gen = torch.Generator().manual_seed(1)
+    tm = KhmerOCR(vocab_size=VOCAB, emb_dim=384, backbone=backbone)
+    randomize_bn(tm, gen)
+    tm.eval()
+
+    blobs: dict[str, np.ndarray] = {}
+    for k, v in tm.state_dict().items():
+        blobs[f"sd/{k}"] = v.detach().numpy()
+
+    # backbone
+    x = rand_chunks(4)
+    with torch.no_grad():
+        blobs["backbone_in"] = x
+        blobs["backbone_out"] = tm.cnn(torch.from_numpy(x)).numpy()
+
+    # piecewise encode (predictor.py:53-78) per image
+    for name, seed, n in [("a", 1, 2), ("b", 2, 3)]:
+        ch = rand_chunks(n, seed=seed)
+        blobs[f"enc_in_{name}"] = ch
+        blobs[f"enc_out_{name}"] = oracle_encode(tm, torch.from_numpy(ch)).numpy()[0]
+
+    # teacher-forced decoder logits
+    rng = np.random.RandomState(3)
+    memory = rng.randn(2, 64, 384).astype(np.float32)
+    pad = np.zeros((2, 64), bool)
+    pad[0, 48:] = True
+    tgt = rng.randint(1, VOCAB, size=(2, 12)).astype(np.int64)
+    tgt[0, 9:] = 0
+    with torch.no_grad():
+        logits = tm.dec(torch.from_numpy(tgt), torch.from_numpy(memory), torch.from_numpy(pad)).numpy()
+    blobs.update(dec_memory=memory, dec_pad=pad, dec_tgt=tgt.astype(np.int32), dec_logits=logits)
+
+    # greedy / beam decode token parity
+    mem_g = oracle_encode(tm, torch.from_numpy(rand_chunks(2, seed=5)))
+    blobs["greedy_memory"] = mem_g.numpy()
+    blobs["greedy_tokens"] = np.array(oracle_greedy(tm, mem_g, max_len=24), np.int32)
+    mem_b = oracle_encode(tm, torch.from_numpy(rand_chunks(2, seed=7)))
+    blobs["beam_memory"] = mem_b.numpy()
+    blobs["beam_tokens"] = np.array(oracle_beam(tm, mem_b, beam_width=3, max_len=16), np.int32)
+
+    np.savez_compressed(out_path, **blobs)
+    print(f"oracle dump: {backbone} -> {out_path} ({len(blobs)} arrays)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
