@@ -46,14 +46,16 @@ def main() -> None:
     def run():
         return _infer_jit(params_c, stats, chunks, counts, cfg, dec_cfg, False, "default")
 
-    tokens = run()
-    tokens.block_until_ready()  # compile
+    _ = np.asarray(run())  # compile + warm
 
+    # NOTE: on the axon remote client, block_until_ready() returns at dispatch,
+    # not completion — only a device->host fetch truly synchronizes. Enqueue all
+    # iterations (pipelined, as a serving system would) and drain every result.
     n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        tokens = run()
-    tokens.block_until_ready()
+    outs = [run() for _ in range(n_iters)]
+    for o in outs:
+        np.asarray(o)
     dt = time.perf_counter() - t0
 
     lines_per_sec = batch * n_iters / dt

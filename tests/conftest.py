@@ -11,10 +11,17 @@ import os
 # one process (reproduced: torch conv -> jitted jax conv never completes).
 # Pinning OMP to one thread avoids it; the torch oracle models are tiny.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The machine's axon sitecustomize force-registers the TPU platform
+# programmatically (jax_platforms="axon,cpu"), overriding the env var — pin the
+# config back to pure CPU before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
