@@ -1,0 +1,94 @@
+"""Layout-detection orchestrator: prep -> jitted SegFormer -> CV post-process
+-> artifacts (reference: netra_ocr/detection/detector.py:13-136 —
+`LayoutInference.run` with heatmap PNG, box-viz PNG, reading-order JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+from .config import CLASS_COLORS, ID2LABEL, LayoutConfig
+from .postprocess import extract_layout_elements
+from .preprocess import prepare_image
+from .segformer import SegFormerConfig, load_hf_checkpoint, predict_maps
+
+logger = logging.getLogger(__name__)
+
+
+class LayoutInference:
+    """Loads the SegFormer layout model once and runs document pages through it.
+
+    The model forward runs jitted on TPU at a fixed 512x512 input; logits
+    upsampling to the original page size happens in the same jitted program
+    (one compile per original size bucket — pages are y-sorted by the caller).
+    """
+
+    def __init__(self, model_dir: str | Path, config: LayoutConfig | None = None,
+                 params=None, seg_cfg: SegFormerConfig | None = None):
+        self.cfg = config or LayoutConfig()
+        if params is not None:
+            self.params, self.seg_cfg = params, seg_cfg or SegFormerConfig()
+        else:
+            logger.info("Loading SegFormer layout model from %s", model_dir)
+            self.params, self.seg_cfg = load_hf_checkpoint(model_dir)
+
+    def predict_maps(self, image_source):
+        """Returns (PIL image, class map (H, W) int, heatmap (H, W) float)."""
+        import jax.numpy as jnp
+
+        image, pixels, (w, h) = prepare_image(image_source, self.cfg.image_size)
+        fn = _jit_predict(self.seg_cfg, (h, w))
+        class_map, heatmap = fn(self.params, jnp.asarray(pixels))
+        return image, np.asarray(class_map[0]), np.asarray(heatmap[0])
+
+    def run(self, image_source, output_dir: str | Path | None = None, stem: str = "page"):
+        """Full pipeline; returns (crops, [(box, class_id)]). Saves artifacts if
+        output_dir is given (heatmap/boxes/JSON, as the reference does)."""
+        image, class_map, heatmap = self.predict_maps(image_source)
+        crops, elements = extract_layout_elements(image, class_map, heatmap, self.cfg)
+        if output_dir is not None:
+            self.save_artifacts(image, heatmap, elements, output_dir, stem)
+        return crops, elements
+
+    def save_artifacts(self, image, heatmap, elements, output_dir, stem="page"):
+        import cv2
+
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        # JET heatmap (detector.py:45-52)
+        hm = (np.clip(heatmap, 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(str(out / f"{stem}_heatmap.png"), cv2.applyColorMap(hm, cv2.COLORMAP_JET))
+        # box visualization (detector.py:54-70)
+        viz = cv2.cvtColor(np.asarray(image.convert("RGB")), cv2.COLOR_RGB2BGR)
+        for box, cls in elements:
+            color = CLASS_COLORS.get(cls, (255, 255, 255))[::-1]  # RGB -> BGR
+            x1, y1, x2, y2 = (int(v) for v in box)
+            cv2.rectangle(viz, (x1, y1), (x2, y2), color, 1)
+            cv2.putText(viz, ID2LABEL.get(cls, str(cls)), (x1, max(0, y1 - 4)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.4, color, 1)
+        cv2.imwrite(str(out / f"{stem}_boxes.png"), viz)
+        # reading-order JSON (detector.py:72-91): sort top-to-bottom, then left-to-right
+        ordered = sorted(elements, key=lambda e: (e[0][1], e[0][0]))
+        payload = [
+            {"order": i, "label": ID2LABEL.get(cls, str(cls)), "class_id": int(cls),
+             "bbox": [int(v) for v in box]}
+            for i, (box, cls) in enumerate(ordered)
+        ]
+        (out / f"{stem}_layout.json").write_text(json.dumps(payload, indent=2))
+
+
+_JIT_CACHE: dict = {}
+
+
+def _jit_predict(seg_cfg: SegFormerConfig, out_hw: tuple[int, int]):
+    import jax
+
+    key = (seg_cfg, out_hw)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(partial(predict_maps, cfg=seg_cfg, out_hw=out_hw))
+    return _JIT_CACHE[key]

@@ -1,0 +1,126 @@
+"""Document OCR pipeline: detection -> crop -> batched TPU recognition.
+
+Reference: `KhmerOCRPipeline` + `netra_ocr` CLI (netra_ocr/ocr_engine.py:13-129).
+Engines: 'custom' = the JAX SegFormer layout stack (detection/), 'surya' = the
+host-side Surya wrapper (detection/surya.py). Text elements are filtered to the
+text class ids, y-sorted, padded, and recognized in one batched TPU pass.
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+from pathlib import Path
+
+from PIL import Image
+
+from ..detection.config import LayoutConfig
+from ..infer.api import recognize_batch
+
+logger = logging.getLogger(__name__)
+
+
+class KhmerOCRPipeline:
+    def __init__(self, engine: str = "surya", layout_model_dir: str | None = None,
+                 recognizer_model_path: str | None = None, vocab_path: str | None = None):
+        self.engine = engine
+        self.layout_cfg = LayoutConfig()
+        self.text_ids = set(self.layout_cfg.text_classes)
+        self.recognizer_model_path = recognizer_model_path
+        self.vocab_path = vocab_path
+        if engine == "custom":
+            from ..detection.detector import LayoutInference
+
+            if layout_model_dir is None:
+                raise ValueError("engine='custom' needs layout_model_dir (HF SegFormer checkpoint)")
+            self.detector = LayoutInference(layout_model_dir)
+        elif engine != "surya":
+            raise ValueError(f"Unknown engine {engine!r} (use 'surya' or 'custom')")
+
+    def _detect_crops(self, image_path: str, padding: int) -> list[Image.Image]:
+        if self.engine == "surya":
+            from ..detection.surya import run_textline_detector
+
+            crops_with_coords, _ = run_textline_detector(image_path, expansion_px=2, padding_px=padding)
+            return [c for c, _ in crops_with_coords]
+        img = Image.open(image_path).convert("RGB")
+        _, elements = self.detector.run(image_path)
+        text_elements = [e for e in elements if e[1] in self.text_ids]
+        text_elements.sort(key=lambda e: e[0][1])  # top-to-bottom
+        w, h = img.size
+        crops = []
+        for (x1, y1, x2, y2), _ in text_elements:
+            crops.append(img.crop((
+                max(0, x1 - padding), max(0, y1 - padding),
+                min(w, x2 + padding), min(h, y2 + padding),
+            )))
+        return crops
+
+    def process_image(self, image_path: str, output_path: str | None = None,
+                      save_debug: bool = False, padding: int = 6,
+                      beam_width: int = 1, batch_size: int = 8) -> str:
+        image_path = str(image_path)
+        if not Path(image_path).exists():
+            raise FileNotFoundError(f"Image not found at: {image_path}")
+        logger.info("Step 1: detecting layout (%s) for %s", self.engine, image_path)
+        crops = self._detect_crops(image_path, padding)
+        if not crops:
+            logger.warning("No text elements found.")
+            return ""
+        logger.info("Step 2: recognizing %d lines (batch %d)", len(crops), batch_size)
+        recognitions = recognize_batch(
+            crops, beam_width=beam_width, batch_size=batch_size,
+            model_path=self.recognizer_model_path, vocab_path=self.vocab_path,
+        )
+        if save_debug:
+            debug_dir = Path(f"debug_{Path(image_path).stem}_{self.engine}")
+            if debug_dir.exists():
+                shutil.rmtree(debug_dir)
+            debug_dir.mkdir(parents=True)
+            for i, (crop, text) in enumerate(zip(crops, recognitions)):
+                crop.save(debug_dir / f"line_{i:03d}.png")
+                (debug_dir / f"line_{i:03d}.txt").write_text(text, encoding="utf-8")
+        final_text = "\n".join(recognitions)
+        if output_path:
+            Path(output_path).write_text(final_text, encoding="utf-8")
+            logger.info("Step 3: saved to %s", output_path)
+        return final_text
+
+
+def main(argv=None) -> int:
+    """`khmer-ocr-pipeline` CLI — flags mirror the reference's `netra_ocr` console
+    script (ocr_engine.py:104-129) plus explicit model paths (this framework
+    doesn't assume weights bundled inside the package)."""
+    import argparse
+    import sys
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s", datefmt="%H:%M:%S")
+    p = argparse.ArgumentParser(description="Khmer OCR holistic pipeline (TPU)")
+    p.add_argument("--image", type=str, required=True)
+    p.add_argument("--engine", type=str, choices=["custom", "surya"], default="surya")
+    p.add_argument("--output", type=str, default="ocr_result.txt")
+    p.add_argument("--padding", type=int, default=6)
+    p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--recognizer", type=str, required=True, help="Recognition checkpoint")
+    p.add_argument("--layout-model", type=str, default=None, help="SegFormer dir (engine=custom)")
+    p.add_argument("--vocab", type=str, default=None)
+    args = p.parse_args(argv)
+    try:
+        pipeline = KhmerOCRPipeline(
+            engine=args.engine, layout_model_dir=args.layout_model,
+            recognizer_model_path=args.recognizer, vocab_path=args.vocab,
+        )
+        pipeline.process_image(
+            image_path=args.image, output_path=args.output, save_debug=args.debug,
+            padding=args.padding, beam_width=args.beam, batch_size=args.batch_size,
+        )
+        return 0
+    except Exception as e:
+        print(f"\nPipeline Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -62,16 +62,18 @@ def chunk_line(line: np.ndarray, cfg: PreprocessConfig, n_chunks: int | None = N
     """Slice an (H, W) float line into (N, H, chunk_width) windows.
 
     Windows start at multiples of the stride while start < W; anything past W is
-    white (1.0). If ``n_chunks`` exceeds the natural count, extra all-white padding
-    chunks are appended (these are masked out downstream).
+    white (1.0). If ``n_chunks`` exceeds the natural count, extra all-white
+    padding chunks are appended (masked out downstream); if it is SMALLER, the
+    line is truncated to the n windows' coverage — the reference equivalently
+    truncates the merged token sequence at the 4096 global positions
+    (se_model.py:267-270).
     """
     h, w = line.shape
-    natural = cfg.num_chunks(w)
-    n = natural if n_chunks is None else n_chunks
-    assert n >= natural, f"bucket {n} smaller than natural chunk count {natural}"
+    n = cfg.num_chunks(w) if n_chunks is None else n_chunks
     padded_w = (n - 1) * cfg.chunk_stride + cfg.chunk_width
     padded = np.full((h, padded_w), WHITE, dtype=np.float32)
-    padded[:, :w] = line
+    keep = min(w, padded_w)
+    padded[:, :keep] = line[:, :keep]
     s0, s1 = padded.strides
     view = np.lib.stride_tricks.as_strided(
         padded,
@@ -145,16 +147,7 @@ class Preprocessor:
             for j in range(0, len(idxs), step):
                 part = idxs[j : j + step]
                 chunks = np.stack(
-                    [
-                        normalize(
-                            chunk_line(
-                                lines[i][:, : (bucket_n - 1) * cfg.chunk_stride + cfg.chunk_width],
-                                cfg,
-                                bucket_n,
-                            )
-                        )
-                        for i in part
-                    ]
+                    [normalize(chunk_line(lines[i], cfg, bucket_n)) for i in part]
                 )
                 counts = np.array(
                     [min(cfg.num_chunks(lines[i].shape[1]), bucket_n) for i in part],

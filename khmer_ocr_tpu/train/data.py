@@ -111,8 +111,7 @@ class LineDataset:
         labels = np.full((b, lb), self.tokenizer.pad_idx, np.int32)
         texts = []
         for i, (line, n, ids, text) in enumerate(part):
-            max_w = (nb - 1) * self.pre.chunk_stride + self.pre.chunk_width
-            chunks[i] = normalize(chunk_line(line[:, :max_w], self.pre, nb))
+            chunks[i] = normalize(chunk_line(line, self.pre, nb))
             counts[i] = n
             if len(ids) > lb:
                 ids = ids[: lb - 1] + [self.tokenizer.eos_idx]

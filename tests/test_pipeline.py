@@ -1,0 +1,94 @@
+"""Pipeline tests: block assignment, cropping, PDF generation, engine wiring."""
+
+import numpy as np
+from PIL import Image
+
+from khmer_ocr_tpu.pipeline.document import (
+    assign_lines_to_blocks,
+    crop_with_padding,
+    get_center,
+    is_center_inside,
+)
+from khmer_ocr_tpu.pipeline.pdf import create_high_res_text_stamp, generate_searchable_pdf
+
+
+def test_center_containment():
+    assert get_center([0, 0, 10, 20]) == (5, 10)
+    assert is_center_inside([2, 2, 8, 8], [0, 0, 10, 10])
+    assert not is_center_inside([12, 2, 20, 8], [0, 0, 10, 10])
+
+
+def test_assign_lines_to_blocks_with_orphans():
+    lines = [[10, 10, 90, 20], [10, 30, 90, 40], [10, 200, 90, 210]]
+    blocks = [("Text", [0, 0, 100, 50])]
+    structured = assign_lines_to_blocks(lines, blocks)
+    assert len(structured) == 2
+    assert structured[0]["type"] == "Text" and len(structured[0]["lines"]) == 2
+    assert structured[1]["type"] == "Orphan" and structured[1]["lines"] == [[10, 200, 90, 210]]
+    # lines within a block sorted by y
+    assert structured[0]["lines"][0][1] <= structured[0]["lines"][1][1]
+
+
+def test_crop_with_padding():
+    img = Image.fromarray(np.zeros((100, 200), np.uint8))
+    crop = crop_with_padding(img, [50, 40, 150, 60], expansion=5, padding=10)
+    # (150-50+10) + 2*10 x (60-40+10) + 2*10
+    assert crop.size == (110 + 20, 30 + 20)
+    assert np.asarray(crop)[0, 0] == 255  # white border
+
+
+def test_text_stamp_and_pil_pdf(tmp_path):
+    from khmer_ocr_tpu.data.generator import find_fonts
+
+    font = str(find_fonts(None)[0])
+    stamp = create_high_res_text_stamp("ខ្មែរ", 120, 30, font)
+    assert stamp.size == (360, 90) and stamp.mode == "RGBA"
+    arr = np.asarray(stamp)
+    assert (arr[..., 3] > 0).any(), "stamp should contain visible text pixels"
+
+    page_path = tmp_path / "page.png"
+    Image.fromarray(np.full((200, 300), 255, np.uint8)).save(page_path)
+    results = [{"text": "ខ្មែរ", "bbox": [20, 30, 200, 60]}]
+    out = generate_searchable_pdf(page_path, results, tmp_path / "out.pdf", font)
+    assert out.exists() and out.stat().st_size > 500
+
+
+def test_engine_custom_wiring(monkeypatch, tmp_path):
+    """KhmerOCRPipeline engine='custom': detector elements -> text filter ->
+    y-sort -> padded crops -> recognize_batch -> joined text."""
+    from khmer_ocr_tpu.pipeline import engine as eng
+
+    page_path = tmp_path / "doc.png"
+    Image.fromarray(np.full((300, 400), 255, np.uint8)).save(page_path)
+
+    class FakeDetector:
+        def run(self, path):
+            elements = [
+                ([10, 100, 200, 130], 10),  # Text (second by y)
+                ([10, 20, 200, 50], 8),  # Section-header (first by y)
+                ([10, 200, 150, 280], 7),  # Picture -> filtered out
+            ]
+            return [], elements
+
+    captured = {}
+
+    def fake_recognize_batch(crops, beam_width, batch_size, model_path=None, vocab_path=None):
+        captured["n"] = len(crops)
+        captured["sizes"] = [c.size for c in crops]
+        return [f"line{i}" for i in range(len(crops))]
+
+    monkeypatch.setattr(eng, "recognize_batch", fake_recognize_batch)
+    pipe = eng.KhmerOCRPipeline.__new__(eng.KhmerOCRPipeline)
+    pipe.engine = "custom"
+    pipe.text_ids = set(eng.LayoutConfig().text_classes)
+    pipe.recognizer_model_path = None
+    pipe.vocab_path = None
+    pipe.detector = FakeDetector()
+
+    out_file = tmp_path / "res.txt"
+    text = pipe.process_image(str(page_path), output_path=str(out_file), padding=6)
+    assert text == "line0\nline1"
+    assert captured["n"] == 2  # picture filtered
+    # first crop = header (y=20) padded by 6: (200-10+12, 50-20+12)
+    assert captured["sizes"][0] == (202, 42)
+    assert out_file.read_text() == "line0\nline1"

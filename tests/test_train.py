@@ -1,0 +1,134 @@
+"""Training tests: staged LR schedule, masked loss, overfit sanity
+(the reference's de-facto unit tests, CNN-Transformer.ipynb [cells 15-16]),
+augmenter invariants, bucketed data pipeline, checkpoint round-trip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from khmer_ocr_tpu.config import ModelConfig, TrainConfig
+from khmer_ocr_tpu.models.layers import Ctx
+from khmer_ocr_tpu.models.ocr_model import forward_train, init_model
+from khmer_ocr_tpu.train.schedule import staged_cyclic_lr
+from khmer_ocr_tpu.train.step import init_train_state, loss_fn, make_optimizer, make_train_step
+
+TINY = ModelConfig(vocab_size=30, emb_dim=64, num_heads=4, enc_layers=1, dec_layers=1,
+                   enc_ffn_dim=128, max_global_len=256, decode_max_len=32, backbone="se_vgg")
+
+
+def test_staged_cyclic_lr():
+    cfg = TrainConfig()
+    spe = 100
+    sched = staged_cyclic_lr(cfg, spe)
+    # epochs 1-15 fixed 1e-4
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(14 * spe + 50)) == pytest.approx(1e-4)
+    # epoch 16: triangular 1e-5 -> 1e-4: base at it=0, peak at it=50
+    e16 = 15 * spe
+    assert float(sched(e16)) == pytest.approx(1e-5)
+    assert float(sched(e16 + 50)) == pytest.approx(1e-4)
+    assert float(sched(e16 + 25)) == pytest.approx((1e-5 + 1e-4) / 2)
+    # epoch 31+: 1e-6 -> 1e-5
+    e31 = 30 * spe
+    assert float(sched(e31)) == pytest.approx(1e-6)
+    assert float(sched(e31 + 50)) == pytest.approx(1e-5)
+    # cycle resets each epoch (scheduler recreated per epoch in the reference)
+    assert float(sched(e16 + spe)) == pytest.approx(1e-5)
+
+
+def _tiny_batch(rng, b=4, n=2, label_len=10, vocab=30):
+    chunks = rng.uniform(-1, 1, (b, n, 48, 100)).astype(np.float32)
+    counts = np.full((b,), n, np.int32)
+    labels = np.zeros((b, label_len), np.int32)
+    for i in range(b):
+        L = rng.randint(4, label_len)
+        labels[i, 0] = 2
+        labels[i, 1 : L - 1] = rng.randint(4, vocab, L - 2)
+        labels[i, L - 1] = 3
+    return {"chunks": jnp.asarray(chunks), "chunk_counts": jnp.asarray(counts), "labels": jnp.asarray(labels)}
+
+
+def test_loss_masks_padding():
+    rng = np.random.RandomState(0)
+    params, stats = init_model(jax.random.PRNGKey(0), TINY)
+    batch = _tiny_batch(rng)
+    loss1, _ = jax.jit(lambda p, s, b: loss_fn(p, s, b, TINY, jax.random.PRNGKey(0), False))(params, stats, batch)
+    # adding extra pad columns must not change the loss
+    batch2 = dict(batch)
+    batch2["labels"] = jnp.concatenate([batch["labels"], jnp.zeros((4, 6), jnp.int32)], axis=1)
+    loss2, _ = jax.jit(lambda p, s, b: loss_fn(p, s, b, TINY, jax.random.PRNGKey(0), False))(params, stats, batch2)
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+    assert 2.0 < float(loss1) < 6.0  # ~ln(30)=3.4 at init
+
+
+def test_overfit_sanity():
+    """Reference sanity_check_overfit ([cell 16]): 50 iters on 4 samples must
+    reach < 10% of the initial loss."""
+    rng = np.random.RandomState(1)
+    optimizer = make_optimizer(lambda step: 1e-3)
+    state = init_train_state(jax.random.PRNGKey(1), TINY, optimizer)
+    step = make_train_step(TINY, optimizer, donate=False)
+    batch = _tiny_batch(rng)
+    losses = []
+    for i in range(50):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < 0.1 * losses[0], f"no overfit: {losses[0]:.3f} -> {losses[-1]:.3f}"
+    assert np.isfinite(losses).all()
+
+
+def test_train_updates_batch_stats():
+    rng = np.random.RandomState(2)
+    optimizer = make_optimizer(lambda s: 1e-4)
+    state = init_train_state(jax.random.PRNGKey(0), TINY, optimizer)
+    step = make_train_step(TINY, optimizer, donate=False)
+    before = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+    state2, _ = step(state, _tiny_batch(rng), jax.random.PRNGKey(0))
+    after = np.asarray(jax.tree.leaves(state2.batch_stats)[0])
+    assert not np.allclose(before, after), "BN running stats must update in training"
+    assert int(state2.step) == 1
+
+
+def test_augmenter_shapes_and_range():
+    from khmer_ocr_tpu.train.augment import Augmenter
+
+    aug = Augmenter(augment_prob=1.0)
+    rng = np.random.default_rng(0)
+    img = rng.random((48, 300)).astype(np.float32)
+    for i in range(20):
+        out = aug(img, np.random.default_rng(i))
+        assert out.shape == img.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0001
+
+
+def test_data_pipeline_buckets():
+    from khmer_ocr_tpu.train.data import LineDataset
+
+    rng = np.random.default_rng(0)
+    samples = []
+    for w, text in [(80, "១២"), (300, "១២៣៤៥"), (900, "១២៣៤៥៦៧៨៩")]:
+        samples.append((np.full((30, w), 255, np.uint8), text))
+    ds = LineDataset(samples * 3, augment=False)
+    batches = list(ds.epoch_batches(batch_size=4, rng=rng))
+    total = 0
+    for b in batches:
+        assert b.chunks.shape[0] == 4  # static batch (padded with repeats)
+        assert b.chunks.shape[2:] == (48, 100)
+        assert b.labels.shape[0] == 4
+        assert (b.labels[:, 0] == 2).all()  # <sos>
+        total += len(b.texts)
+    assert total >= 9
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from khmer_ocr_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    params, stats = init_model(jax.random.PRNGKey(3), TINY)
+    save_checkpoint(tmp_path / "ck", params, stats, TINY, step=7)
+    p2, s2, cfg2 = load_checkpoint(tmp_path / "ck")
+    assert cfg2 == TINY
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
