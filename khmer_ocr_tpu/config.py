@@ -31,6 +31,9 @@ class PreprocessConfig:
     # (`preprocessor.py:47`); the HF-hub standalone floors at 10 (`inference.py:102`).
     # We follow the packaged path — that is what produced the published CER numbers.
     min_width: int = 50
+    # Binarization eval variant (CNN-Transformer.ipynb [cell 20]):
+    # Otsu threshold after a 5x5 Gaussian blur, applied BEFORE the resize.
+    binarize: bool = False
 
     @property
     def chunk_stride(self) -> int:

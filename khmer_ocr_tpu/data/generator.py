@@ -16,7 +16,7 @@ the pipeline is runnable end-to-end out of the box.
 from __future__ import annotations
 
 import dataclasses
-from multiprocessing import Pool
+import multiprocessing
 from pathlib import Path
 
 import numpy as np
@@ -139,7 +139,10 @@ class DocumentTextGenerator:
         (images, labels) lists otherwise."""
         seeds = np.random.default_rng(self.seed).integers(0, 2**31, size=n).tolist()
         if processes > 1:
-            with Pool(processes) as pool:
+            # spawn, not fork: the caller's process usually holds an initialized
+            # JAX/TPU client, and forking it deadlocks the children
+            ctx = multiprocessing.get_context("spawn")
+            with ctx.Pool(processes) as pool:
                 results = [r for r in pool.imap_unordered(self._one, seeds) if r is not None]
         else:
             results = [r for r in map(self._one, seeds) if r is not None]

@@ -37,6 +37,9 @@ def _infer_jit(params, batch_stats, chunks, counts, model_cfg: ModelConfig, dec_
                use_beam: bool, precision: str):
     with jax.default_matmul_precision(precision):
         ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
+        # compute dtype follows the params (bf16 params -> bf16 activations/caches)
+        compute_dtype = jax.tree.leaves(params["patch"])[0].dtype
+        chunks = chunks.astype(compute_dtype)
         memory, pad_mask, _ = encode(params, batch_stats, chunks, counts, model_cfg, ctx, train=False)
         if use_beam:
             return beam_decode(params, memory, pad_mask, model_cfg, dec_cfg)

@@ -97,9 +97,16 @@ class Evaluator:
         pairs = self._pairs(split_dir)
         refs = [p[1].read_text(encoding="utf-8").strip() for p in pairs]
         hyps = self.recognize_fn([str(p[0]) for p in pairs])
+        # batch distances through the native C++ kernel when available
+        from .native import levenshtein_batch
+
+        distances = levenshtein_batch(refs, hyps)
         cers, failures, exact = [], [], 0
-        for (img, _), ref, hyp in zip(pairs, refs, hyps):
-            cer = calculate_cer(ref, hyp)
+        for (img, _), ref, hyp, dist in zip(pairs, refs, hyps, distances):
+            if len(ref) == 0:
+                cer = 0.0 if len(hyp) == 0 else 1.0
+            else:
+                cer = float(dist) / len(ref)
             cers.append(cer)
             exact += int(ref == hyp)
             if cer > self.failure_threshold:

@@ -45,12 +45,25 @@ def load_grayscale(image_source) -> Image.Image:
     raise ValueError(f"Unsupported image source type: {type(image_source)!r}")
 
 
+def binarize_image(image: Image.Image) -> Image.Image:
+    """Otsu threshold after 5x5 Gaussian blur (the reference's binarization eval
+    variant, CNN-Transformer.ipynb [cell 20]); applied before resizing."""
+    import cv2
+
+    arr = np.asarray(image, dtype=np.uint8)
+    blurred = cv2.GaussianBlur(arr, (5, 5), 0)
+    _, binary = cv2.threshold(blurred, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    return Image.fromarray(binary)
+
+
 def resize_line(image: Image.Image, cfg: PreprocessConfig) -> np.ndarray:
     """Resize to target height preserving aspect ratio; returns float32 HxW in [0,1].
 
     Width = max(min_width, int(img_height * aspect_ratio)) — exact reference
     arithmetic (preprocessor.py:45-48), including the int() truncation.
     """
+    if cfg.binarize:
+        image = binarize_image(image)
     aspect_ratio = image.width / image.height
     new_width = max(cfg.min_width, int(cfg.img_height * aspect_ratio))
     image = image.resize((new_width, cfg.img_height), Image.Resampling.BILINEAR)

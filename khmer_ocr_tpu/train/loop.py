@@ -67,19 +67,35 @@ def train(
     else:
         shard_batch = lambda b: b
 
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     np_rng = np.random.default_rng(tcfg.seed)
     ckpt_dir = Path(checkpoint_dir)
     total_epochs = num_epochs or tcfg.num_epochs
     step = 0
+    compiled_shapes: set = set()
     for epoch in range(1, total_epochs + 1):
+        logger.info("epoch %d/%d starting (%d samples, batch %d)",
+                    epoch, total_epochs, sample_size, tcfg.batch_size)
+        epoch_loss, epoch_batches = 0.0, 0
         running, t0 = 0.0, time.time()
         for bidx, batch in enumerate(
             dataset.epoch_batches(tcfg.batch_size, np_rng, sample_size=sample_size)
         ):
+            shape_key = (batch.chunks.shape, batch.labels.shape)
+            if shape_key not in compiled_shapes:
+                compiled_shapes.add(shape_key)
+                logger.info("compiling train step for chunks=%s labels=%s",
+                            batch.chunks.shape, batch.labels.shape)
             bd = shard_batch(batch.as_dict())
             state, metrics = train_step(state, bd, jax.random.fold_in(rng, step))
             step += 1
-            running += float(metrics["loss"])
+            loss_val = float(metrics["loss"])
+            running += loss_val
+            epoch_loss += loss_val
+            epoch_batches += 1
             if (bidx + 1) % log_every == 0:
                 logger.info(
                     "epoch %d batch %d loss %.4f (%.1f lines/s)",
@@ -91,6 +107,8 @@ def train(
                 logits = eval_logits(state.params, state.batch_stats, bd)
                 true, pred = _eye_test(tokenizer, logits, bd)
                 logger.info("eye test | TRUE: %s | PRED: %s", true, pred)
+        logger.info("epoch %d done: mean loss %.4f over %d batches",
+                    epoch, epoch_loss / max(epoch_batches, 1), epoch_batches)
         if epoch % tcfg.checkpoint_every_epochs == 0 or epoch == total_epochs:
             path = save_checkpoint(
                 ckpt_dir / f"epoch{epoch:03d}", state.params, state.batch_stats, mcfg,
