@@ -37,7 +37,7 @@ def main() -> None:
     dtype = jnp.bfloat16
     params_c = jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
-    batch, n_chunks, steps = 128, 4, 64
+    batch, n_chunks, steps = 256, 4, 64
     rng = np.random.RandomState(0)
     chunks = jnp.asarray(rng.uniform(-1, 1, (batch, n_chunks, 48, 100)).astype(np.float32), dtype=dtype)
     counts = jnp.full((batch,), n_chunks, jnp.int32)

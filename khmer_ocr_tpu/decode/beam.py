@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..config import DecodeConfig, ModelConfig
 from ..models.layers import NEG_INF, Ctx
-from ..models.ocr_model import decode_step, init_decode_state
+from ..models.ocr_model import decode_step, decode_windows, init_decode_state
 
 
 def _expand_lanes(x, k):
@@ -55,10 +55,19 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     best_done_score = jnp.full((b,), NEG_INF, dtype=jnp.float32)
     best_done_tokens = jnp.full((b, max_len + 2), dec_cfg.pad_idx, dtype=jnp.int32)
 
+    windows = decode_windows(max_len)
+
     def body(pos, carry):
         tokens, scores, state, best_done_score, best_done_tokens = carry
         cur = tokens[:, :, pos].reshape(b * k)
-        logits, state = decode_step(params, state, cur, pos, model_cfg, ctx)
+        # staged cache window (see decode/greedy.py) — KV reads and the beam
+        # reorder below only touch the active prefix
+        stage = sum(jnp.int32(pos >= w) for w in windows[:-1])
+        branches = [
+            (lambda w: lambda st: decode_step(params, st, cur, pos, model_cfg, ctx, window=w))(w)
+            for w in windows
+        ]
+        logits, state = jax.lax.switch(stage, branches, state)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
 
         top_lp, top_ids = jax.lax.top_k(logp, k)  # (B, K, K) per-beam candidates
@@ -85,13 +94,24 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
         tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
         tokens = tokens.at[:, :, pos + 1].set(new_tok)
 
-        # reorder self-attention caches by parent beam
+        # reorder self-attention caches by parent beam — prefix slots only
         lane_parent = (parent + jnp.arange(b)[:, None] * k).reshape(b * k)
-        new_self = [
-            (jnp.take(sk, lane_parent, axis=0), jnp.take(sv, lane_parent, axis=0))
-            for sk, sv in state["self_kv"]
-        ]
-        state = {**state, "self_kv": new_self}
+
+        def reorder_with(w):
+            def f(st):
+                new_self = []
+                for sk, sv in st["self_kv"]:
+                    pk = jnp.take(sk[:, :, :w], lane_parent, axis=0)
+                    pv = jnp.take(sv[:, :, :w], lane_parent, axis=0)
+                    new_self.append((
+                        jax.lax.dynamic_update_slice(sk, pk, (0, 0, 0, 0)),
+                        jax.lax.dynamic_update_slice(sv, pv, (0, 0, 0, 0)),
+                    ))
+                return {**st, "self_kv": new_self}
+
+            return f
+
+        state = jax.lax.switch(stage, [reorder_with(w) for w in windows], state)
         return tokens, new_scores, state, best_done_score, best_done_tokens
 
     tokens, scores, _, best_done_score, best_done_tokens = jax.lax.fori_loop(

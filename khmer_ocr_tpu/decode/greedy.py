@@ -19,15 +19,22 @@ import jax.numpy as jnp
 
 from ..config import DecodeConfig, ModelConfig
 from ..models.layers import Ctx
-from ..models.ocr_model import decode_step, init_decode_state
+from ..models.ocr_model import decode_step, decode_windows, init_decode_state
 
 
 def greedy_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg: DecodeConfig):
-    """memory: (B, T, D); returns tokens (B, max_len + 1) including leading <sos>."""
+    """memory: (B, T, D); returns tokens (B, max_len + 1) including leading <sos>.
+
+    The step body is a `lax.switch` over a geometric cache-window schedule
+    (32/64/.../max_len): decoding is KV-read-bound, and typical lines finish in
+    well under 64 tokens — early steps read only a small static cache prefix.
+    Identical outputs to a full-window decode.
+    """
     b = memory.shape[0]
     max_len = dec_cfg.max_len
     ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
     state = init_decode_state(params, memory, memory_pad_mask, model_cfg)
+    windows = decode_windows(max_len)
 
     tokens = jnp.full((b, max_len + 1), dec_cfg.pad_idx, dtype=jnp.int32)
     tokens = tokens.at[:, 0].set(dec_cfg.sos_idx)
@@ -40,7 +47,12 @@ def greedy_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_c
     def body(carry):
         pos, tokens, finished, state = carry
         cur = tokens[:, pos]
-        logits, state = decode_step(params, state, cur, pos, model_cfg, ctx)
+        branches = [
+            (lambda w: lambda st: decode_step(params, st, cur, pos, model_cfg, ctx, window=w))(w)
+            for w in windows
+        ]
+        stage = sum(jnp.int32(pos >= w) for w in windows[:-1])
+        logits, state = jax.lax.switch(stage, branches, state)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, dec_cfg.pad_idx, nxt)
         tokens = tokens.at[:, pos + 1].set(nxt)

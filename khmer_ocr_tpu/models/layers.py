@@ -165,20 +165,27 @@ def decoder_layer(p, ctx: Ctx, x, memory, *, tgt_key_padding_mask=None, memory_k
     return x
 
 
-def decoder_layer_step(p, ctx: Ctx, x, pos, self_k, self_v, mem_k, mem_v, mem_valid):
+def decoder_layer_step(p, ctx: Ctx, x, pos, self_k, self_v, mem_k, mem_v, mem_valid,
+                       window: int | None = None):
     """Incremental decode: one position for the whole batch of lanes.
 
     x: (B, D) input at position ``pos``. self_k/self_v: (B, H, Tmax, hd) caches —
     this position's K/V are written at index ``pos`` and the updated caches
     returned. mem_k/mem_v: precomputed memory projections; mem_valid: (B, Tm).
+
+    ``window`` (static, requires pos < window): self-attention reads only the
+    first ``window`` cache slots — decoding is KV-cache-bandwidth-bound, and the
+    early steps of a 256-slot cache otherwise read 256 slots to use 3. Callers
+    stage the window up as ``pos`` grows (see decode/greedy.py); results are
+    bit-identical to the full read because slots >= window are masked anyway.
     """
     k_t, v_t = mha_project_kv_step(p["self"], x, ctx.num_heads)
     self_k = jax.lax.dynamic_update_index_in_dim(self_k, k_t, pos, axis=2)
     self_v = jax.lax.dynamic_update_index_in_dim(self_v, v_t, pos, axis=2)
-    t_max = self_k.shape[2]
-    attendable = jnp.arange(t_max)[None, :] <= pos  # (1, Tmax) -> broadcast (B, Tmax)
-    attendable = jnp.broadcast_to(attendable, (x.shape[0], t_max))
-    sa = mha_step(p["self"], ctx, x, self_k, self_v, attendable)
+    w = self_k.shape[2] if window is None else min(window, self_k.shape[2])
+    attendable = jnp.arange(w)[None, :] <= pos  # (1, w) -> broadcast (B, w)
+    attendable = jnp.broadcast_to(attendable, (x.shape[0], w))
+    sa = mha_step(p["self"], ctx, x, self_k[:, :, :w], self_v[:, :, :w], attendable)
     x = layer_norm(p["ln1"], x + sa)
     ca = mha_step(p["cross"], ctx, x, mem_k, mem_v, mem_valid)
     x = layer_norm(p["ln2"], x + ca)

@@ -174,18 +174,30 @@ def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig):
     return {"mem_kv": mem_kv, "self_kv": self_kv, "mem_valid": ~memory_pad_mask}
 
 
-def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx):
+def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx, window: int | None = None):
     """One decode step for a batch of lanes.
 
     tokens: (B,) int32 current input tokens; pos: scalar int32 position.
-    Returns (logits (B, V), new_state).
+    ``window``: static self-attention cache window (requires pos < window); see
+    decoder_layer_step. Returns (logits (B, V), new_state).
     """
     dec = params["dec"]
     x = dec["tok_emb"][tokens] + jax.lax.dynamic_index_in_dim(dec["pos_emb"], pos, axis=0, keepdims=False)
     x = x.astype(state["mem_kv"][0][0].dtype)
     new_self = []
     for lp, (sk, sv), (mk, mv) in zip(dec["layers"], state["self_kv"], state["mem_kv"]):
-        x, sk, sv = decoder_layer_step(lp, ctx, x, pos, sk, sv, mk, mv, state["mem_valid"])
+        x, sk, sv = decoder_layer_step(lp, ctx, x, pos, sk, sv, mk, mv, state["mem_valid"], window)
         new_self.append((sk, sv))
     logits = dense(dec["out"], x)
     return logits, {**state, "self_kv": new_self}
+
+
+def decode_windows(max_len: int, base: int = 32) -> tuple[int, ...]:
+    """Geometric cache-window schedule: (32, 64, 128, ..., max_len)."""
+    windows = []
+    w = base
+    while w < max_len:
+        windows.append(w)
+        w *= 2
+    windows.append(max_len)
+    return tuple(windows)
