@@ -35,15 +35,43 @@ def _cell_factory(w_hh):
     return cell
 
 
-def lstm_scan(p, x):
-    """Unidirectional LSTM over (B, T, D) -> (B, T, H). Gate order i,f,g,o."""
+def lstm_scan(p, x, use_pallas: bool | None = None):
+    """Unidirectional LSTM over (B, T, D) -> (B, T, H). Gate order i,f,g,o.
+
+    The input projection runs as one MXU matmul; the recurrence runs either as
+    a Pallas kernel with VMEM-resident weights and double-buffered gate DMA
+    (ops/pallas/lstm.py) or as `lax.scan`. Default: Pallas on TPU when the
+    shape qualifies.
+    """
     b, t, _ = x.shape
     hidden = p["w_hh"].shape[0]
     xg = x @ p["w_ih"].astype(x.dtype) + (p["b_ih"] + p["b_hh"]).astype(x.dtype)  # (B, T, 4H)
+    if use_pallas is None:
+        use_pallas = _default_use_pallas()
+    if use_pallas:
+        from ..ops.pallas.lstm import lstm_recurrence, pallas_lstm_available
+
+        if pallas_lstm_available(b, hidden, jnp.float32):
+            out = lstm_recurrence(xg.astype(jnp.float32), p["w_hh"].astype(jnp.float32), hidden)
+            return out.astype(x.dtype)
     h0 = jnp.zeros((b, hidden), x.dtype)
     c0 = jnp.zeros((b, hidden), x.dtype)
     (_, _), hs = jax.lax.scan(_cell_factory(p["w_hh"].astype(x.dtype)), (h0, c0), xg.transpose(1, 0, 2))
     return hs.transpose(1, 0, 2)
+
+
+def _default_use_pallas() -> bool:
+    import os
+
+    flag = os.environ.get("KHMER_OCR_PALLAS_LSTM", "auto")
+    if flag in ("0", "off", "false"):
+        return False
+    if flag in ("1", "on", "true"):
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def flip_within_length(x, lengths):
