@@ -82,13 +82,17 @@ def flip_within_length(x, lengths):
     return jnp.take_along_axis(x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
 
 
-def bilstm_apply(p, x, lengths=None):
-    """Bidirectional LSTM: concat(forward, length-aware backward) -> (B, T, 2H)."""
-    fw = lstm_scan(p["fw"], x)
+def bilstm_apply(p, x, lengths=None, use_pallas: bool | None = None):
+    """Bidirectional LSTM: concat(forward, length-aware backward) -> (B, T, 2H).
+
+    ``use_pallas=False`` forces the differentiable `lax.scan` path — the Pallas
+    recurrence kernel has no autodiff rule, so training must pass False.
+    """
+    fw = lstm_scan(p["fw"], x, use_pallas)
     if lengths is None:
-        bw = jnp.flip(lstm_scan(p["bw"], jnp.flip(x, axis=1)), axis=1)
+        bw = jnp.flip(lstm_scan(p["bw"], jnp.flip(x, axis=1), use_pallas), axis=1)
     else:
-        bw = flip_within_length(lstm_scan(p["bw"], flip_within_length(x, lengths)), lengths)
+        bw = flip_within_length(lstm_scan(p["bw"], flip_within_length(x, lengths), use_pallas), lengths)
     return jnp.concatenate([fw, bw], axis=-1)
 
 

@@ -116,7 +116,9 @@ def encode(params, batch_stats, chunks, chunk_counts, cfg: ModelConfig, ctx: Ctx
     t = n * CHUNK_TOKENS
     memory = memory + params["global_pos"][:t].astype(memory.dtype)
     if cfg.use_bilstm:
-        memory = bilstm_apply(params["bilstm"], memory, lengths)
+        # training must take the differentiable scan path; inference may use
+        # the Pallas recurrence kernel (no autodiff rule)
+        memory = bilstm_apply(params["bilstm"], memory, lengths, use_pallas=False if train else None)
     pad_mask = jnp.arange(t)[None, :] >= lengths[:, None]  # True = padding
     return memory, pad_mask, new_stats
 

@@ -19,6 +19,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     p.add_argument("--data-parallel", action="store_true", help="Shard batches over all devices")
+    p.add_argument("--resume", type=str, default=None, help="Checkpoint dir to resume from")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -51,7 +52,8 @@ def main(argv=None) -> int:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
-    train(dataset, config, checkpoint_dir=args.checkpoint_dir, mesh=mesh, num_epochs=args.epochs)
+    train(dataset, config, checkpoint_dir=args.checkpoint_dir, mesh=mesh, num_epochs=args.epochs,
+          resume_from=args.resume)
     return 0
 
 

@@ -39,8 +39,15 @@ def train(
     log_every: int = 100,
     eye_test_every: int = 500,
     num_epochs: int | None = None,
+    resume_from: str | Path | None = None,
 ):
-    """Train the configured model; returns the final TrainState."""
+    """Train the configured model; returns the final TrainState.
+
+    ``resume_from``: a checkpoint dir saved by this loop — restores params, BN
+    stats, optimizer state, and the global step, then continues from the next
+    epoch. (The reference has no resume at all: restart = cold start,
+    SURVEY.md §5.)
+    """
     config = config or OCRConfig()
     tcfg, mcfg = config.train, config.model
     tokenizer = dataset.tokenizer
@@ -52,6 +59,24 @@ def train(
     optimizer = make_optimizer(schedule)
     rng = jax.random.PRNGKey(tcfg.seed)
     state = init_train_state(rng, mcfg, optimizer)
+    start_epoch = 1
+    if resume_from is not None:
+        from .checkpoint import load_checkpoint_full
+        from .step import TrainState
+
+        payload, ck_cfg = load_checkpoint_full(resume_from)
+        assert ck_cfg == mcfg, f"checkpoint config {ck_cfg} != model config {mcfg}"
+        restored = jax.tree.map(jnp_asarray := (lambda x: jax.numpy.asarray(x)), payload["params"])
+        stats = jax.tree.map(jnp_asarray, payload["batch_stats"])
+        opt_state = (
+            jax.tree.unflatten(jax.tree.structure(state.opt_state),
+                               jax.tree.leaves(jax.tree.map(jnp_asarray, payload["opt_state"])))
+            if "opt_state" in payload else state.opt_state
+        )
+        step0 = int(payload.get("step", 0))
+        state = TrainState(restored, stats, opt_state, jax.numpy.asarray(step0, jax.numpy.int32))
+        start_epoch = step0 // steps_per_epoch + 1
+        logger.info("resumed from %s at step %d (epoch %d)", resume_from, step0, start_epoch)
     train_step = make_train_step(mcfg, optimizer, precision=config.runtime.matmul_precision)
     eval_logits = make_eval_logits_fn(mcfg, precision=config.runtime.matmul_precision)
 
@@ -74,9 +99,9 @@ def train(
     np_rng = np.random.default_rng(tcfg.seed)
     ckpt_dir = Path(checkpoint_dir)
     total_epochs = num_epochs or tcfg.num_epochs
-    step = 0
+    step = int(state.step)
     compiled_shapes: set = set()
-    for epoch in range(1, total_epochs + 1):
+    for epoch in range(start_epoch, total_epochs + 1):
         logger.info("epoch %d/%d starting (%d samples, batch %d)",
                     epoch, total_epochs, sample_size, tcfg.batch_size)
         epoch_loss, epoch_batches = 0.0, 0
