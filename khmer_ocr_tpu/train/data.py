@@ -75,34 +75,41 @@ class LineDataset:
 
     def epoch_batches(self, batch_size: int, rng: np.random.Generator,
                       sample_size: int | None = None, num_workers: int = 8):
-        """Yields statically-shaped Batch objects covering a random epoch subset."""
+        """Yields statically-shaped Batch objects covering a random epoch subset.
+
+        Streaming producer: samples are resized/augmented in a thread pool and
+        emitted the moment a (chunk-bucket, label-bucket) group fills a batch —
+        host preprocessing overlaps device training instead of stalling each
+        epoch on a full-dataset prepare. Partial buckets flush (padded with
+        repeats) at epoch end.
+        """
         idxs = np.arange(len(self.samples))
         if sample_size is not None and sample_size < len(idxs):
             idxs = rng.choice(idxs, size=sample_size, replace=False)
         else:
             rng.shuffle(idxs)
-
-        # Prepare (augment+resize) in parallel, then group by bucket.
         child_seeds = rng.integers(0, 2**31, size=len(idxs))
-        with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            prepared = list(
-                pool.map(lambda t: self._prepare_one(t[0], np.random.default_rng(t[1])),
-                         zip(idxs.tolist(), child_seeds.tolist()))
-            )
 
         groups: dict[tuple[int, int], list] = {}
-        for line, n, text in prepared:
-            ids = self.tokenizer.encode(text)
-            lb = _bucket(len(ids), LABEL_BUCKETS)
-            nb = _bucket(n, CHUNK_BUCKETS_TRAIN)
-            groups.setdefault((nb, lb), []).append((line, n, ids, text))
-
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            prepared_iter = pool.map(
+                lambda t: self._prepare_one(t[0], np.random.default_rng(t[1])),
+                zip(idxs.tolist(), child_seeds.tolist()),
+            )
+            for line, n, text in prepared_iter:
+                ids = self.tokenizer.encode(text)
+                key = (_bucket(n, CHUNK_BUCKETS_TRAIN), _bucket(len(ids), LABEL_BUCKETS))
+                bucket = groups.setdefault(key, [])
+                bucket.append((line, n, ids, text))
+                if len(bucket) == batch_size:
+                    yield self._assemble(bucket, *key)
+                    groups[key] = []
         for (nb, lb), items in groups.items():
-            for j in range(0, len(items), batch_size):
-                part = items[j : j + batch_size]
-                while len(part) < batch_size:  # static batch: pad with repeats
-                    part = part + part[: batch_size - len(part)]
-                yield self._assemble(part, nb, lb)
+            if not items:
+                continue
+            while len(items) < batch_size:  # static batch: pad with repeats
+                items = items + items[: batch_size - len(items)]
+            yield self._assemble(items, nb, lb)
 
     def _assemble(self, part, nb: int, lb: int) -> Batch:
         b = len(part)
