@@ -89,7 +89,8 @@ class Predictor:
 
     # -- decoding ----------------------------------------------------------
 
-    def _decode_prepared(self, batch: PreparedBatch, beam_width: int) -> list[str]:
+    def _dispatch_prepared(self, batch: PreparedBatch, beam_width: int):
+        """Enqueue one bucket batch on device; returns (device tokens, true B)."""
         dec_cfg = DecodeConfig(
             beam_width=max(beam_width, 1),
             max_len=self.model_cfg.decode_max_len,
@@ -115,6 +116,10 @@ class Predictor:
             beam_width > 1,
             self.config.runtime.matmul_precision,
         )
+        return tokens, b
+
+    def _decode_prepared(self, batch: PreparedBatch, beam_width: int) -> list[str]:
+        tokens, b = self._dispatch_prepared(batch, beam_width)
         return self.tokenizer.decode_batch(np.asarray(tokens)[:b])
 
     # -- public API ----------------------------------------------------------
@@ -129,8 +134,14 @@ class Predictor:
         if not image_list:
             return []
         results: list[str | None] = [None] * len(image_list)
-        for batch in self.preprocessor.prepare_batches(image_list, max_batch=batch_size):
-            texts = self._decode_prepared(batch, beam_width)
+        # two-phase: enqueue every bucket batch (device runs them back-to-back,
+        # hiding the host<->device round-trip), then drain in order
+        dispatched = [
+            (batch, *self._dispatch_prepared(batch, beam_width))
+            for batch in self.preprocessor.prepare_batches(image_list, max_batch=batch_size)
+        ]
+        for batch, tokens, b in dispatched:
+            texts = self.tokenizer.decode_batch(np.asarray(tokens)[:b])
             for idx, text in zip(batch.indices, texts):
                 results[idx] = text
         return results  # type: ignore[return-value]
