@@ -29,6 +29,10 @@ from .augment import Augmenter
 
 LABEL_BUCKETS = (16, 32, 64, 128, 256)
 CHUNK_BUCKETS_TRAIN = (1, 2, 3, 4, 6, 8, 12, 16)
+# Label-bucket floor per chunk bucket: wider lines carry longer text, so tying
+# the label bucket to the chunk bucket collapses the (chunk, label) shape grid
+# from ~|C|x|L| combos to ~|C| — each combo costs a full train-step compile.
+LABEL_FLOOR = {1: 32, 2: 32, 3: 64, 4: 64, 6: 64, 8: 128, 12: 128, 16: 256}
 
 
 def _bucket(n, buckets):
@@ -36,6 +40,10 @@ def _bucket(n, buckets):
         if n <= b:
             return b
     return buckets[-1]
+
+
+def _label_bucket(n_ids: int, nb: int) -> int:
+    return max(_bucket(n_ids, LABEL_BUCKETS), LABEL_FLOOR.get(nb, 64))
 
 
 @dataclasses.dataclass
@@ -98,7 +106,8 @@ class LineDataset:
             )
             for line, n, text in prepared_iter:
                 ids = self.tokenizer.encode(text)
-                key = (_bucket(n, CHUNK_BUCKETS_TRAIN), _bucket(len(ids), LABEL_BUCKETS))
+                nb = _bucket(n, CHUNK_BUCKETS_TRAIN)
+                key = (nb, _label_bucket(len(ids), nb))
                 bucket = groups.setdefault(key, [])
                 bucket.append((line, n, ids, text))
                 if len(bucket) == batch_size:
