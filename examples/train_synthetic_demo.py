@@ -27,6 +27,8 @@ def main() -> int:
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--words", type=int, default=400, help="Vocabulary of synthetic words")
+    p.add_argument("--max-words-per-line", type=int, default=5)
+    p.add_argument("--augment", action="store_true", help="Train-time augmentation (off by default: eval set is clean)")
     p.add_argument("--workdir", type=str, default="/tmp/khmer_train_demo")
     p.add_argument("--backbone", type=str, default="se_vgg")
     args = p.parse_args()
@@ -47,7 +49,7 @@ def main() -> int:
 
     # --- data: shared word list, disjoint rendering seeds -------------------
     t0 = time.time()
-    gen = DocumentTextGenerator(seed=0, augment=False)
+    gen = DocumentTextGenerator(seed=0, augment=False, words_per_sample=(1, args.max_words_per_line))
     gen.words = gen.words[: args.words]  # small closed vocabulary -> learnable quickly
     train_samples = gen.generate(args.train_n, processes=8)
     gen.seed = 999  # held-out split: same distribution, fresh renders
@@ -69,8 +71,8 @@ def main() -> int:
         ),
     )
 
-    dataset = LineDataset(train_samples, augment=True, train_cfg=config.train)
-    state = train(dataset, config, checkpoint_dir=work / "ckpts", num_epochs=args.epochs)
+    dataset = LineDataset(train_samples, augment=args.augment, train_cfg=config.train)
+    state = train(dataset, config, checkpoint_dir=work / "ckpts", num_epochs=args.epochs, eye_test_every=150)
 
     # --- eval ---------------------------------------------------------------
     mcfg = config.model.replace(vocab_size=len(dataset.tokenizer), pad_idx=dataset.tokenizer.pad_idx)

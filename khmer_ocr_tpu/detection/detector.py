@@ -38,13 +38,26 @@ class LayoutInference:
             self.params, self.seg_cfg = load_hf_checkpoint(model_dir)
 
     def predict_maps(self, image_source):
-        """Returns (PIL image, class map (H, W) int, heatmap (H, W) float)."""
+        """Returns (PIL image, class map (H, W) int, heatmap (H, W) float).
+
+        Device logits upsample to a 256-rounded size bucket (one jit per bucket,
+        not per exact page size); the final exact-size resize of the two small
+        maps happens on host (nearest for classes, linear for the heatmap).
+        """
+        import cv2
         import jax.numpy as jnp
 
         image, pixels, (w, h) = prepare_image(image_source, self.cfg.image_size)
-        fn = _jit_predict(self.seg_cfg, (h, w))
+        hb = ((h + 255) // 256) * 256
+        wb = ((w + 255) // 256) * 256
+        fn = _jit_predict(self.seg_cfg, (hb, wb))
         class_map, heatmap = fn(self.params, jnp.asarray(pixels))
-        return image, np.asarray(class_map[0]), np.asarray(heatmap[0])
+        cm = np.asarray(class_map[0], dtype=np.int32)
+        hm = np.asarray(heatmap[0], dtype=np.float32)
+        if (hb, wb) != (h, w):
+            cm = cv2.resize(cm, (w, h), interpolation=cv2.INTER_NEAREST)
+            hm = cv2.resize(hm, (w, h), interpolation=cv2.INTER_LINEAR)
+        return image, cm, hm
 
     def run(self, image_source, output_dir: str | Path | None = None, stem: str = "page"):
         """Full pipeline; returns (crops, [(box, class_id)]). Saves artifacts if

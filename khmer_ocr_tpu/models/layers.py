@@ -209,7 +209,7 @@ def linear_init(rng, in_dim, out_dim):
     }
 
 
-def xavier_linear_init(rng, in_dim, out_dim, bias_zero=True):
+def xavier_linear_init(rng, in_dim, out_dim):
     """torch MHA in_proj: xavier_uniform weights, zero bias."""
     a = np.sqrt(6.0 / (in_dim + out_dim))
     w = jax.random.uniform(rng, (in_dim, out_dim), jnp.float32, -a, a)

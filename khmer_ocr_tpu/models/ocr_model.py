@@ -86,7 +86,7 @@ def init_model(rng, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 
-def patch_apply(p, f, ctx_dtype=None):
+def patch_apply(p, f):
     """(B, 2, 32, C) backbone features -> (B, 32, D) tokens.
 
     Equivalent to the reference PatchEncoder's Conv2d(k=(2,1), s=(2,1)) +
