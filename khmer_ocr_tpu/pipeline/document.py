@@ -84,25 +84,42 @@ def assign_lines_to_blocks(text_line_bboxes, layout_blocks):
 
 
 def run_layout_aware_pipeline(image_path, model_path=None, vocab_path=None, beam_width: int = 3,
-                              batch_size: int = 8):
-    """Surya detection + layout -> block-structured recognized lines
-    (inference_pdf.py:49-101). Requires surya-ocr."""
-    from ..detection.surya import run_textline_detector
-
+                              batch_size: int = 8, engine: str = "surya",
+                              layout_model_dir: str | None = None):
+    """Detection + layout -> block-structured recognized lines
+    (inference_pdf.py:49-101). engine='surya' reproduces the reference
+    (Surya text lines + Surya layout blocks); engine='custom' uses the JAX
+    SegFormer stack for both, so the PDF pipeline runs without surya-ocr."""
     image = Image.open(image_path).convert("RGB")
-    crops_with_coords, prediction = run_textline_detector(image_path, expansion_px=0, padding_px=0)
-    line_bboxes = [list(bbox) for _, bbox in crops_with_coords]
 
-    try:
-        from surya.foundation import FoundationPredictor
-        from surya.layout import LayoutPredictor
-        from surya.settings import settings
+    if engine == "custom":
+        from ..detection.config import LayoutConfig
+        from ..detection.detector import LayoutInference
 
-        layout_pred = LayoutPredictor(FoundationPredictor(checkpoint=settings.LAYOUT_MODEL_CHECKPOINT))([image])[0]
-        blocks = [(b.label, list(b.bbox)) for b in layout_pred.bboxes]
-    except ImportError:
-        logger.warning("surya layout unavailable; treating all lines as orphans")
-        blocks = []
+        if layout_model_dir is None:
+            raise ValueError("engine='custom' needs layout_model_dir")
+        det = LayoutInference(layout_model_dir)
+        _, elements = det.run(image_path)
+        text_ids = set(LayoutConfig().text_classes)
+        line_bboxes = [list(box) for box, cls in elements if cls in text_ids]
+        from ..detection.config import ID2LABEL
+
+        blocks = [(ID2LABEL.get(cls, str(cls)), list(box)) for box, cls in elements if cls not in text_ids]
+    else:
+        from ..detection.surya import run_textline_detector
+
+        crops_with_coords, _ = run_textline_detector(image_path, expansion_px=0, padding_px=0)
+        line_bboxes = [list(bbox) for _, bbox in crops_with_coords]
+        try:
+            from surya.foundation import FoundationPredictor
+            from surya.layout import LayoutPredictor
+            from surya.settings import settings
+
+            layout_pred = LayoutPredictor(FoundationPredictor(checkpoint=settings.LAYOUT_MODEL_CHECKPOINT))([image])[0]
+            blocks = [(b.label, list(b.bbox)) for b in layout_pred.bboxes]
+        except ImportError:
+            logger.warning("surya layout unavailable; treating all lines as orphans")
+            blocks = []
 
     structured = assign_lines_to_blocks(line_bboxes, blocks)
 

@@ -128,11 +128,14 @@ def main(argv=None) -> int:
     p.add_argument("--vocab", default=None)
     p.add_argument("--beam", type=int, default=3)
     p.add_argument("--outdir", default="results")
+    p.add_argument("--engine", choices=["surya", "custom"], default="surya")
+    p.add_argument("--layout-model", default=None, help="SegFormer dir (engine=custom)")
     args = p.parse_args(argv)
 
     from .document import run_layout_aware_pipeline
 
-    results = run_layout_aware_pipeline(args.image, args.model, args.vocab, args.beam)
+    results = run_layout_aware_pipeline(args.image, args.model, args.vocab, args.beam,
+                                        engine=args.engine, layout_model_dir=args.layout_model)
     out = Path(args.outdir)
     out.mkdir(parents=True, exist_ok=True)
     pdf_path = out / (Path(args.image).stem + "_final.pdf")
