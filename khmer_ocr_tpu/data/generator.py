@@ -22,7 +22,9 @@ from pathlib import Path
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
 
-KHMER_CONSONANTS = [chr(c) for c in range(0x1780, 0x17A3)]
+# consonants restricted to the recognition vocabulary (char2idx.json) — the
+# raw Unicode range includes the obsolete ឝ/ឞ which the vocab maps to <unk>
+KHMER_CONSONANTS = [chr(c) for c in range(0x1780, 0x17A3) if c not in (0x179D, 0x179E)]
 KHMER_VOWELS = [chr(c) for c in range(0x17B6, 0x17C6)]
 KHMER_SIGNS = ["្"]  # coeng
 
