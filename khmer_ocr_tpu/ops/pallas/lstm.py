@@ -34,7 +34,12 @@ def pallas_lstm_available(batch: int, hidden: int, dtype) -> bool:
     dim of the state buffers itself."""
     if dtype not in (jnp.float32, jnp.dtype("float32")):
         return False
-    return hidden % 8 == 0 and batch % 8 == 0
+    # VMEM budget: double-buffered gate slabs (2*4*B*Hp), out slabs, h/c state,
+    # and weights must fit the ~16 MB scoped limit -> B <= 512 at Hp = 256.
+    # (Batch tiling via a grid is the TODO that lifts this.)
+    hp = ((hidden + 127) // 128) * 128
+    vmem_bytes = (2 * 4 * batch * hp + 2 * batch * hp + 2 * batch * hp + 4 * hp * hp) * 4
+    return hidden % 8 == 0 and batch % 8 == 0 and vmem_bytes <= 12 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("hidden",))

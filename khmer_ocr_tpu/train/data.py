@@ -42,8 +42,10 @@ def _bucket(n, buckets):
     return buckets[-1]
 
 
-def _label_bucket(n_ids: int, nb: int) -> int:
-    return max(_bucket(n_ids, LABEL_BUCKETS), LABEL_FLOOR.get(nb, 64))
+def _label_bucket(n_ids: int, nb: int, cap: int | None = None) -> int:
+    lb = max(_bucket(n_ids, LABEL_BUCKETS), LABEL_FLOOR.get(nb, 64))
+    # the teacher-forcing input (lb - 1 tokens) must fit the decoder pos_emb
+    return min(lb, cap) if cap else lb
 
 
 @dataclasses.dataclass
@@ -82,7 +84,8 @@ class LineDataset:
         return line, n, text
 
     def epoch_batches(self, batch_size: int, rng: np.random.Generator,
-                      sample_size: int | None = None, num_workers: int = 8):
+                      sample_size: int | None = None, num_workers: int = 8,
+                      max_label_len: int | None = None):
         """Yields statically-shaped Batch objects covering a random epoch subset.
 
         Streaming producer: samples are resized/augmented in a thread pool and
@@ -104,10 +107,11 @@ class LineDataset:
                 lambda t: self._prepare_one(t[0], np.random.default_rng(t[1])),
                 zip(idxs.tolist(), child_seeds.tolist()),
             )
+            cap = max_label_len or self.train_cfg.max_label_len
             for line, n, text in prepared_iter:
                 ids = self.tokenizer.encode(text)
                 nb = _bucket(n, CHUNK_BUCKETS_TRAIN)
-                key = (nb, _label_bucket(len(ids), nb))
+                key = (nb, _label_bucket(len(ids), nb, cap))
                 bucket = groups.setdefault(key, [])
                 bucket.append((line, n, ids, text))
                 if len(bucket) == batch_size:

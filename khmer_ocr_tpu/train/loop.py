@@ -107,7 +107,12 @@ def train(
         epoch_loss, epoch_batches = 0.0, 0
         running, t0 = 0.0, time.time()
         for bidx, batch in enumerate(
-            dataset.epoch_batches(tcfg.batch_size, np_rng, sample_size=sample_size)
+            dataset.epoch_batches(
+                tcfg.batch_size, np_rng, sample_size=sample_size,
+                # labels carry <sos>+<eos>; the teacher-forcing input (len-1)
+                # must fit the decoder's positional embedding
+                max_label_len=min(tcfg.max_label_len, mcfg.decode_max_len + 1),
+            )
         ):
             shape_key = (batch.chunks.shape, batch.labels.shape)
             if shape_key not in compiled_shapes:
