@@ -57,7 +57,11 @@ class Predictor:
         params=None,
         batch_stats=None,
         model_cfg: ModelConfig | None = None,
+        mesh=None,
     ):
+        """``mesh``: a jax.sharding.Mesh for data-parallel serving — params/stats
+        replicate across it and every batch shards on its 'data' axis (the
+        multi-chip inference path; the reference is single-device only)."""
         self.config = config or OCRConfig()
         self.tokenizer = Tokenizer(vocab_path)
         if params is not None:
@@ -71,6 +75,16 @@ class Predictor:
         dtype = jnp.bfloat16 if self.config.runtime.compute_dtype == "bfloat16" else jnp.float32
         if dtype != jnp.float32:
             self.params = jax.tree.map(lambda x: x.astype(dtype), self.params)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            rep = replicate(mesh)
+            self.params = jax.tree.map(lambda x: jax.device_put(x, rep), self.params)
+            self.batch_stats = jax.tree.map(lambda x: jax.device_put(x, rep), self.batch_stats)
+            self._n_data = mesh.shape[self.config.runtime.mesh_data_axis]
+        else:
+            self._n_data = 1
 
     def _load(self, model_path: str | Path):
         model_path = Path(model_path)
@@ -100,17 +114,25 @@ class Predictor:
         )
         b = batch.chunks.shape[0]
         padded_b = _round_up(b, self.config.runtime.batch_buckets)
+        # batch must divide the data axis when serving on a mesh
+        padded_b = ((padded_b + self._n_data - 1) // self._n_data) * self._n_data
         chunks = batch.chunks
         counts = batch.chunk_counts
         if padded_b != b:
             reps = padded_b - b
             chunks = np.concatenate([chunks, np.repeat(chunks[-1:], reps, axis=0)])
             counts = np.concatenate([counts, np.repeat(counts[-1:], reps, axis=0)])
+        chunks_d, counts_d = jnp.asarray(chunks), jnp.asarray(counts)
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            chunks_d = jax.device_put(chunks_d, batch_sharding(self.mesh, 4))
+            counts_d = jax.device_put(counts_d, batch_sharding(self.mesh, 1))
         tokens = _infer_jit(
             self.params,
             self.batch_stats,
-            jnp.asarray(chunks),
-            jnp.asarray(counts),
+            chunks_d,
+            counts_d,
             self.model_cfg,
             dec_cfg,
             beam_width > 1,

@@ -100,3 +100,23 @@ def test_data_parallel_decode_matches():
         TINY, dc, False, "highest",
     ))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_mesh_predictor_matches_single_device():
+    """Predictor(mesh=...) data-parallel serving gives identical strings."""
+    from khmer_ocr_tpu.config import OCRConfig, RuntimeConfig
+    from khmer_ocr_tpu.infer.predictor import Predictor
+    from khmer_ocr_tpu.models.ocr_model import init_model
+    from PIL import Image
+
+    params, stats = init_model(jax.random.PRNGKey(5), TINY)
+    cfg = OCRConfig().replace(runtime=RuntimeConfig(matmul_precision="default",
+                                                    chunk_buckets=(1, 2, 4), batch_buckets=(8,)))
+    imgs = [Image.fromarray(np.random.RandomState(s).randint(0, 255, (32, 100 + 40 * s), np.uint8))
+            for s in range(6)]
+    single = Predictor(params=params, batch_stats=stats, model_cfg=TINY, config=cfg)
+    ref = single.predict_batch(imgs, beam_width=1, batch_size=8)
+    meshed = Predictor(params=params, batch_stats=stats, model_cfg=TINY, config=cfg,
+                       mesh=make_mesh(n_data=8, n_model=1))
+    out = meshed.predict_batch(imgs, beam_width=1, batch_size=8)
+    assert out == ref
