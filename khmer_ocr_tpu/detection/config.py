@@ -7,7 +7,7 @@ documents with Khmer text).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 ID2LABEL = {
     0: "Background", 1: "Caption", 2: "Footnote", 3: "Formula",

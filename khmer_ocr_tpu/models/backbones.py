@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.adaptive_pool import adaptive_avg_pool2d
-from .layers import trunc_normal
 
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1  # torch default

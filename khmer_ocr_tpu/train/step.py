@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import ModelConfig, TrainConfig
+from ..config import ModelConfig
 from ..models.layers import Ctx, RngStream
 from ..models.ocr_model import forward_train, init_model
 
