@@ -164,3 +164,22 @@ def test_extract_layout_end_to_end():
     # text boxes snapped to ink: line 1 spans ~[50-pad, 410+pad]
     text_boxes = [b for b, c in elements if c == 10]
     assert any(b[0] <= 50 and b[2] >= 400 for b in text_boxes)
+
+
+def test_layout_inference_size_buckets(oracle):
+    """predict_maps: device upsample to a 256-rounded bucket, host resize to the
+    exact page size — maps must come back at the original resolution."""
+    from khmer_ocr_tpu.detection.config import LayoutConfig
+    from khmer_ocr_tpu.detection.detector import LayoutInference
+    from khmer_ocr_tpu.detection.segformer import SegFormerConfig
+
+    sd = {k[3:]: v for k, v in oracle.items() if k.startswith("sd/")}
+    from khmer_ocr_tpu.detection.segformer import convert_hf_state_dict
+
+    params = convert_hf_state_dict(sd)
+    det = LayoutInference(model_dir=None, params=params, seg_cfg=SegFormerConfig(),
+                          config=LayoutConfig(image_size=128))
+    page = Image.fromarray(np.full((333, 205, 3), 255, np.uint8))
+    img, cm, hm = det.predict_maps(page)
+    assert cm.shape == (333, 205) and hm.shape == (333, 205)
+    assert cm.dtype == np.int32 and 0.0 <= hm.max() <= 1.0001
