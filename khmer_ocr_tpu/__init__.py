@@ -30,11 +30,31 @@ def recognize_batch(image_list, beam_width: int = 1, batch_size: int = 8, model_
     )
 
 
+def __getattr__(name):
+    """Lazy heavyweight exports (these pull in JAX)."""
+    if name == "Predictor":
+        from .infer.predictor import Predictor
+
+        return Predictor
+    if name == "KhmerOCRInference":
+        from .infer.standalone import KhmerOCRInference
+
+        return KhmerOCRInference
+    if name == "KhmerOCRPipeline":
+        from .pipeline.engine import KhmerOCRPipeline
+
+        return KhmerOCRPipeline
+    raise AttributeError(f"module 'khmer_ocr_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "DecodeConfig",
     "Evaluator",
+    "KhmerOCRInference",
+    "KhmerOCRPipeline",
     "ModelConfig",
     "OCRConfig",
+    "Predictor",
     "PreprocessConfig",
     "RuntimeConfig",
     "Tokenizer",
