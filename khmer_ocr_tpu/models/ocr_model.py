@@ -133,6 +133,12 @@ def decode_train(params, memory, memory_pad_mask, tgt_tokens, cfg: ModelConfig, 
     TransformerDecoderWrapper.forward (se_model.py:182-207)."""
     dec = params["dec"]
     t = tgt_tokens.shape[1]
+    max_t = dec["pos_emb"].shape[0]
+    if t > max_t:
+        raise ValueError(
+            f"target length {t} exceeds the decoder's positional embedding ({max_t}); "
+            f"truncate labels to decode_max_len + 1 (see train/data.py label buckets)"
+        )
     x = dec["tok_emb"][tgt_tokens] + dec["pos_emb"][:t][None]
     x = x.astype(memory.dtype)
     tgt_pad = tgt_tokens == cfg.pad_idx
