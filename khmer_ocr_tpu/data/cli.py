@@ -20,6 +20,10 @@ def main(argv=None) -> int:
     p.add_argument("--processes", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--push-to-hub", type=str, default=None, help="Also push as HF dataset repo id")
+    vis = p.add_mutually_exclusive_group()
+    vis.add_argument("--private", dest="private", action="store_true", default=None,
+                     help="Push the hub dataset private (default: document public, scene private)")
+    vis.add_argument("--public", dest="private", action="store_false", default=None)
     args = p.parse_args(argv)
 
     from .generator import DocumentTextGenerator, SceneTextGenerator
@@ -37,8 +41,7 @@ def main(argv=None) -> int:
     results = gen.generate(args.num, out_dir=args.out, processes=args.processes)
     print(f"{len(results)} samples -> {args.out}")
     if args.push_to_hub:
-        ds = gen.to_hf_dataset(args.num, processes=args.processes)
-        ds.push_to_hub(args.push_to_hub)
+        gen.push_to_hub(args.push_to_hub, args.num, processes=args.processes, private=args.private)
         print(f"pushed to hub: {args.push_to_hub}")
     return 0
 

@@ -158,6 +158,11 @@ class DocumentTextGenerator:
             (out / "labels" / f"{i:06d}.txt").write_text(text, encoding="utf-8")
         return results
 
+    # visibility of pushed datasets: the reference pushes document data public
+    # (generate_document_text.py:221, private=False) and scene data private
+    # (generate_scene_text.py:226, private=True)
+    hub_private: bool = dataclasses.field(default=False, init=False, repr=False)
+
     def to_hf_dataset(self, n: int, processes: int = 4):
         """Export as a HuggingFace dataset with image/label columns (reference
         pushes these to the Hub)."""
@@ -167,6 +172,13 @@ class DocumentTextGenerator:
         return hfds.Dataset.from_dict(
             {"image": [Image.fromarray(img) for img, _ in results], "label": [t for _, t in results]}
         )
+
+    def push_to_hub(self, repo_id: str, n: int, processes: int = 4, private: bool | None = None):
+        """Generate and push to the HF Hub with the reference's visibility
+        defaults (document public / scene private)."""
+        ds = self.to_hf_dataset(n, processes=processes)
+        ds.push_to_hub(repo_id, private=self.hub_private if private is None else private)
+        return ds
 
 
 @dataclasses.dataclass
@@ -179,6 +191,7 @@ class SceneTextGenerator(DocumentTextGenerator):
 
     def __post_init__(self):
         super().__post_init__()
+        self.hub_private = True  # reference pushes scene data private
         self.backgrounds = []
         if self.background_dir and Path(self.background_dir).is_dir():
             self.backgrounds = sorted(
@@ -203,10 +216,16 @@ class SceneTextGenerator(DocumentTextGenerator):
         size = int(rng.integers(self.font_size_range[0], self.font_size_range[1] + 1))
         mask = render_text_line(text, font_path, size, fg=255, bg=0)
         h, w = mask.shape
-        bg = self._background(rng, w, h)
+        # reference layout (generate_scene_text.py:102-115): background padded
+        # by 20px and the text placed at (10 + dx, 10 + dy), dx/dy in [0, 5]
+        pad = 20
+        bg = self._background(rng, w + pad, h + pad)
+        x0 = 10 + int(rng.integers(0, 6))
+        y0 = 10 + int(rng.integers(0, 6))
         # contrast-aware text color: black on bright, white on dark (mean > 127)
         color = 0 if bg.mean() > 127 else 255
         out = bg.astype(np.float32)
         alpha = mask.astype(np.float32) / 255.0
-        out = out * (1 - alpha) + color * alpha
+        region = out[y0 : y0 + h, x0 : x0 + w]
+        out[y0 : y0 + h, x0 : x0 + w] = region * (1 - alpha) + color * alpha
         return np.clip(out, 0, 255).astype(np.uint8), text

@@ -103,11 +103,11 @@ class Predictor:
 
     # -- decoding ----------------------------------------------------------
 
-    def _dispatch_prepared(self, batch: PreparedBatch, beam_width: int):
+    def _dispatch_prepared(self, batch: PreparedBatch, beam_width: int, max_len: int | None = None):
         """Enqueue one bucket batch on device; returns (device tokens, true B)."""
         dec_cfg = DecodeConfig(
             beam_width=max(beam_width, 1),
-            max_len=self.model_cfg.decode_max_len,
+            max_len=min(max_len or self.model_cfg.decode_max_len, self.model_cfg.decode_max_len),
             sos_idx=self.tokenizer.sos_idx,
             eos_idx=self.tokenizer.eos_idx,
             pad_idx=self.tokenizer.pad_idx,
@@ -146,20 +146,24 @@ class Predictor:
 
     # -- public API ----------------------------------------------------------
 
-    def predict(self, image_input, beam_width: int = 3) -> str:
+    def predict(self, image_input, beam_width: int = 3, max_len: int | None = None) -> str:
         """One line image -> text (reference predictor.predict, predictor.py:48-83)."""
-        return self.predict_batch([image_input], beam_width=beam_width)[0]
+        return self.predict_batch([image_input], beam_width=beam_width, max_len=max_len)[0]
 
-    def predict_batch(self, image_list: list, beam_width: int = 1, batch_size: int = 8) -> list[str]:
+    def predict_batch(self, image_list: list, beam_width: int = 1, batch_size: int = 8,
+                      max_len: int | None = None) -> list[str]:
         """Batched recognition (reference predict_batch, predictor.py:138-199) —
-        but decode is batched on device instead of per-image Python loops."""
+        but decode is batched on device instead of per-image Python loops.
+
+        ``max_len`` caps decode steps below the model's decode_max_len (the
+        standalone KhmerOCRInference variant uses 128, inference.py:213)."""
         if not image_list:
             return []
         results: list[str | None] = [None] * len(image_list)
         # two-phase: enqueue every bucket batch (device runs them back-to-back,
         # hiding the host<->device round-trip), then drain in order
         dispatched = [
-            (batch, *self._dispatch_prepared(batch, beam_width))
+            (batch, *self._dispatch_prepared(batch, beam_width, max_len))
             for batch in self.preprocessor.prepare_batches(image_list, max_batch=batch_size)
         ]
         for batch, tokens, b in dispatched:

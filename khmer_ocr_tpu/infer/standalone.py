@@ -39,14 +39,9 @@ class KhmerOCRInference:
         self.max_length = max_length
 
     def predict(self, image_input, beam_width: int = 3) -> str:
-        dec_max = min(self.max_length, self._predictor.model_cfg.decode_max_len)
-        old = self._predictor.model_cfg
-        try:
-            # decode cap 128 (standalone behavior) without touching pos-emb shapes
-            self._predictor.model_cfg = old.replace(decode_max_len=dec_max)
-            return self._predictor.predict(image_input, beam_width=beam_width)
-        finally:
-            self._predictor.model_cfg = old
+        # decode cap 128 (standalone behavior, inference.py:213) passed as a
+        # per-call override — no shared-config mutation, safe under concurrency
+        return self._predictor.predict(image_input, beam_width=beam_width, max_len=self.max_length)
 
     def predict_batch(self, images, beam_width: int = 1, batch_size: int = 8):
         return self._predictor.predict_batch(images, beam_width=beam_width, batch_size=batch_size)

@@ -61,8 +61,28 @@ def load_checkpoint(path: str | Path):
     return payload["params"], payload["batch_stats"], model_cfg
 
 
-def load_checkpoint_full(path: str | Path):
+def load_checkpoint_full(path: str | Path, template=None):
+    """``template``: an optional pytree with the live payload structure (e.g. a
+    fresh TrainState's fields) — orbax restores raw nested containers, so
+    restoring INTO the template recovers NamedTuple/custom-node structure (the
+    optax opt_state) robustly instead of relying on leaf-order unflattening."""
     payload, model_cfg = _load(path)
+    if template is not None:
+        restored = {}
+        for key, tmpl in template.items():
+            if key not in payload:
+                continue
+            leaves = jax.tree.leaves(payload[key])
+            tmpl_leaves, treedef = jax.tree.flatten(tmpl)
+            if len(leaves) != len(tmpl_leaves):
+                raise ValueError(
+                    f"checkpoint field {key!r} has {len(leaves)} leaves but the live "
+                    f"template has {len(tmpl_leaves)} — config/optimizer mismatch"
+                )
+            restored[key] = jax.tree.unflatten(treedef, leaves)
+        for key in payload:
+            restored.setdefault(key, payload[key])
+        payload = restored
     return payload, model_cfg
 
 

@@ -64,13 +64,18 @@ def train(
         from .checkpoint import load_checkpoint_full
         from .step import TrainState
 
-        payload, ck_cfg = load_checkpoint_full(resume_from)
-        assert ck_cfg == mcfg, f"checkpoint config {ck_cfg} != model config {mcfg}"
-        restored = jax.tree.map(jnp_asarray := (lambda x: jax.numpy.asarray(x)), payload["params"])
+        payload, ck_cfg = load_checkpoint_full(
+            resume_from,
+            template={"params": state.params, "batch_stats": state.batch_stats,
+                      "opt_state": state.opt_state},
+        )
+        if ck_cfg != mcfg:
+            raise ValueError(f"checkpoint config {ck_cfg} != model config {mcfg}")
+        jnp_asarray = lambda x: jax.numpy.asarray(x)
+        restored = jax.tree.map(jnp_asarray, payload["params"])
         stats = jax.tree.map(jnp_asarray, payload["batch_stats"])
         opt_state = (
-            jax.tree.unflatten(jax.tree.structure(state.opt_state),
-                               jax.tree.leaves(jax.tree.map(jnp_asarray, payload["opt_state"])))
+            jax.tree.map(jnp_asarray, payload["opt_state"])
             if "opt_state" in payload else state.opt_state
         )
         step0 = int(payload.get("step", 0))
@@ -120,7 +125,7 @@ def train(
                 logger.info("compiling train step for chunks=%s labels=%s",
                             batch.chunks.shape, batch.labels.shape)
             bd = shard_batch(batch.as_dict())
-            state, metrics = train_step(state, bd, jax.random.fold_in(rng, step))
+            state, metrics = train_step(state, bd, jax.random.fold_in(rng, step), schedule(step))
             step += 1
             loss_val = float(metrics["loss"])
             running += loss_val

