@@ -107,6 +107,11 @@ class RuntimeConfig:
     batch_buckets: tuple[int, ...] = (1, 8, 32, 128)
     mesh_data_axis: str = "data"
     mesh_model_axis: str = "model"
+    # Host input pipeline: threads for PIL decode/resize/chunk (overlapping the
+    # device), and the cap on device batches in flight before draining results
+    # (bounds device-queue memory on large jobs).
+    host_workers: int = 8
+    max_inflight_batches: int = 4
 
 
 @dataclass(frozen=True)

@@ -16,10 +16,24 @@ Exact reimplementation of the reference's Python beam loop
   * final answer: best completed if any, else the current top beam
     (predictor.py:135).
 
-The reference never early-exits for K>=2 (next_beams always refills to K), so
-the loop runs the full ``max_len`` steps; we do the same for string parity.
-Lanes of one image share its memory; self-attention KV caches are gathered by
-parent beam each step.
+Performance design (round-1 VERDICT next-steps #1-2):
+
+  * **Pointer-table lineage instead of cache reorder.** Beams share prefixes;
+    instead of physically re-gathering every layer's K/V prefix after each
+    step's parent selection (a full prefix copy per step), a lineage table
+    ``lineage[l, t] = lane that wrote slot t of lane l's history`` is carried,
+    and the self-attention read gathers through it (models/layers.py
+    decoder_layer_step) — the gather rides the read the attention performs
+    anyway, halving per-step HBM traffic.
+  * **Provably-safe early exit.** Per-step logprobs are <= 0, so an active
+    beam with raw score ``s`` can never complete with normalized score above
+    ``s / (max_len + 1)`` (raw only decreases; the denominator — final
+    sequence length — is at most max_len + 1... the LARGEST it can get, which
+    maximizes s/L for s <= 0). Once every image's best such bound no longer
+    exceeds its best completed score, no future step can change any answer and
+    the whole batch exits. Outputs are bit-identical to the full
+    ``max_len``-step run the reference performs (its loop never refills below
+    K beams so it never exits on its own, predictor.py:126-133).
 """
 
 from __future__ import annotations
@@ -32,11 +46,6 @@ from ..models.layers import NEG_INF, Ctx
 from ..models.ocr_model import decode_step, decode_windows, init_decode_state
 
 
-def _expand_lanes(x, k):
-    """(B, ...) -> (B*K, ...) repeating each row K times."""
-    return jnp.repeat(x, k, axis=0)
-
-
 def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg: DecodeConfig):
     """memory: (B, T, D). Returns best tokens (B, max_len + 2) incl <sos>."""
     b = memory.shape[0]
@@ -44,9 +53,9 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     max_len = dec_cfg.max_len
     ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
 
-    mem = _expand_lanes(memory, k)
-    mask = _expand_lanes(memory_pad_mask, k)
-    state = init_decode_state(params, mem, mask, model_cfg)
+    # memory K/V stay ONE copy per image — lanes read them through grouped
+    # cross-attention (K x less HBM traffic); self caches are per lane.
+    state = init_decode_state(params, memory, memory_pad_mask, model_cfg, lanes=k)
 
     tokens = jnp.full((b, k, max_len + 2), dec_cfg.pad_idx, dtype=jnp.int32)
     tokens = tokens.at[:, :, 0].set(dec_cfg.sos_idx)
@@ -54,17 +63,30 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     scores = jnp.full((b, k), NEG_INF, dtype=jnp.float32).at[:, 0].set(0.0)
     best_done_score = jnp.full((b,), NEG_INF, dtype=jnp.float32)
     best_done_tokens = jnp.full((b, max_len + 2), dec_cfg.pad_idx, dtype=jnp.int32)
+    # lineage[l, t]: lane that wrote self-KV slot t of lane l's history. Columns
+    # >= pos are unset garbage — reads mask them (slot pos itself reads as self).
+    cache_len = state["self_kv"][0][0].shape[2]
+    lineage = jnp.broadcast_to(jnp.arange(b * k, dtype=jnp.int32)[:, None], (b * k, cache_len))
 
     windows = decode_windows(max_len)
 
-    def body(pos, carry):
-        tokens, scores, state, best_done_score, best_done_tokens = carry
+    def cond(carry):
+        pos, tokens, scores, state, lineage, best_done_score, best_done_tokens = carry
+        # bound on any future completion's normalized score per image (see module
+        # docstring); strict improvement is required to replace best_done, so
+        # exit as soon as bound <= best_done for every image.
+        bound = scores.max(axis=1) / jnp.float32(max_len + 1)
+        return (pos < max_len) & ~jnp.all(bound <= best_done_score)
+
+    def body(carry):
+        pos, tokens, scores, state, lineage, best_done_score, best_done_tokens = carry
         cur = tokens[:, :, pos].reshape(b * k)
-        # staged cache window (see decode/greedy.py) — KV reads and the beam
-        # reorder below only touch the active prefix
+        # staged cache window (see decode/greedy.py) — KV reads touch only the
+        # active prefix
         stage = sum(jnp.int32(pos >= w) for w in windows[:-1])
         branches = [
-            (lambda w: lambda st: decode_step(params, st, cur, pos, model_cfg, ctx, window=w))(w)
+            (lambda w: lambda st: decode_step(params, st, cur, pos, model_cfg, ctx, window=w,
+                                              lineage=lineage))(w)
             for w in windows
         ]
         logits, state = jax.lax.switch(stage, branches, state)
@@ -94,28 +116,15 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
         tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
         tokens = tokens.at[:, :, pos + 1].set(new_tok)
 
-        # reorder self-attention caches by parent beam — prefix slots only
-        lane_parent = (parent + jnp.arange(b)[:, None] * k).reshape(b * k)
+        # lineage update replaces the physical cache reorder: inherit the
+        # parent's pointer rows, and slot `pos` (just written by the parent
+        # lane) now belongs to the parent.
+        lane_parent = (parent + jnp.arange(b)[:, None] * k).reshape(b * k).astype(jnp.int32)
+        lineage = jnp.take(lineage, lane_parent, axis=0).at[:, pos].set(lane_parent)
 
-        def reorder_with(w):
-            def f(st):
-                new_self = []
-                for sk, sv in st["self_kv"]:
-                    pk = jnp.take(sk[:, :, :w], lane_parent, axis=0)
-                    pv = jnp.take(sv[:, :, :w], lane_parent, axis=0)
-                    new_self.append((
-                        jax.lax.dynamic_update_slice(sk, pk, (0, 0, 0, 0)),
-                        jax.lax.dynamic_update_slice(sv, pv, (0, 0, 0, 0)),
-                    ))
-                return {**st, "self_kv": new_self}
+        return pos + 1, tokens, new_scores, state, lineage, best_done_score, best_done_tokens
 
-            return f
-
-        state = jax.lax.switch(stage, [reorder_with(w) for w in windows], state)
-        return tokens, new_scores, state, best_done_score, best_done_tokens
-
-    tokens, scores, _, best_done_score, best_done_tokens = jax.lax.fori_loop(
-        0, max_len, body, (tokens, scores, state, best_done_score, best_done_tokens)
-    )
+    carry = (jnp.int32(0), tokens, scores, state, lineage, best_done_score, best_done_tokens)
+    _, tokens, _, _, _, best_done_score, best_done_tokens = jax.lax.while_loop(cond, body, carry)
     has_done = best_done_score > NEG_INF / 2
     return jnp.where(has_done[:, None], best_done_tokens, tokens[:, 0])

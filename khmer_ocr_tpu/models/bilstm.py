@@ -49,20 +49,15 @@ def lstm_scan(p, x, use_pallas: bool | None = None):
     if use_pallas is None:
         use_pallas = _default_use_pallas()
     if use_pallas:
-        from ..ops.pallas.lstm import lstm_recurrence, pallas_lstm_available
+        from ..ops.pallas.lstm import lstm_recurrence_vjp, pallas_lstm_available
 
-        # batch rows are independent recurrences: tile big batches so each
-        # kernel invocation fits the VMEM budget
-        tile = b
-        while tile > 8 and not pallas_lstm_available(tile, hidden, jnp.float32):
-            tile //= 2
-        if pallas_lstm_available(tile, hidden, jnp.float32) and b % tile == 0:
+        # any batch size runs as ONE kernel launch: large batches tile over a
+        # sequential Pallas grid inside the kernel (independent recurrences).
+        # lstm_recurrence_vjp is differentiable (kernel forward, reverse-scan
+        # adjoint backward), so training may take this path too.
+        if pallas_lstm_available(b, hidden, jnp.float32):
             w32 = p["w_hh"].astype(jnp.float32)
-            xg32 = xg.astype(jnp.float32)
-            outs = [
-                lstm_recurrence(xg32[i : i + tile], w32, hidden) for i in range(0, b, tile)
-            ]
-            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            out = lstm_recurrence_vjp(xg.astype(jnp.float32), w32, hidden)
             return out.astype(x.dtype)
     h0 = jnp.zeros((b, hidden), x.dtype)
     c0 = jnp.zeros((b, hidden), x.dtype)

@@ -130,6 +130,28 @@ def mha_step(p, ctx: Ctx, q_in, k_cache, v_cache, valid_mask):
     return dense(p["o"], out)
 
 
+def mha_step_grouped(p, ctx: Ctx, q_in, k_cache, v_cache, valid_mask):
+    """One-query attention where groups of query lanes share one cached K/V.
+
+    q_in: (B*K, D) — K beam lanes per image, image-major; k_cache/v_cache:
+    (B, H, T, hd) ONE copy per image; valid_mask: (B, T). Beam search's
+    cross-attention memory is identical across an image's lanes, so reading it
+    once per image instead of once per lane cuts the dominant decode-step HBM
+    traffic by K× (round-1 VERDICT next-step #2).
+    """
+    h = ctx.num_heads
+    bk, d = q_in.shape
+    b = k_cache.shape[0]
+    k_lanes = bk // b
+    hd = d // h
+    q = dense(p["q"], q_in).reshape(b, k_lanes, h, hd)
+    logits = jnp.einsum("bkhd,bhtd->bkht", q, k_cache) / np.sqrt(hd).astype(q.dtype)
+    logits = jnp.where(valid_mask[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bkht,bhtd->bkhd", w, v_cache).reshape(bk, d)
+    return dense(p["o"], out)
+
+
 def mha_project_kv_step(p, x, num_heads):
     """Project a single position's K/V for writing into a cache: (B, H, hd)."""
     b, d = x.shape
@@ -203,7 +225,10 @@ def decoder_layer_step(p, ctx: Ctx, x, pos, self_k, self_v, mem_k, mem_v, mem_va
         v_read = jnp.take_along_axis(v_read, idx, axis=0)
     sa = mha_step(p["self"], ctx, x, k_read, v_read, attendable)
     x = layer_norm(p["ln1"], x + sa)
-    ca = mha_step(p["cross"], ctx, x, mem_k, mem_v, mem_valid)
+    if mem_k.shape[0] != x.shape[0]:  # beam lanes share per-image memory K/V
+        ca = mha_step_grouped(p["cross"], ctx, x, mem_k, mem_v, mem_valid)
+    else:
+        ca = mha_step(p["cross"], ctx, x, mem_k, mem_v, mem_valid)
     x = layer_norm(p["ln2"], x + ca)
     x = layer_norm(p["ln3"], x + ffn(p, ctx, x))
     return x, self_k, self_v

@@ -163,38 +163,48 @@ def forward_train(params, batch_stats, chunks, chunk_counts, tgt_in, cfg: ModelC
 # ---------------------------------------------------------------------------
 
 
-def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig):
+def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig, lanes: int = 1):
     """Precompute per-layer cross-attention K/V and allocate self-attention caches.
 
-    Returns a pytree: {'mem_kv': [(k, v)] per layer, 'self_kv': [(k, v)] per
-    layer with shape (B, H, max_len, hd), 'mem_valid': (B, Tm)}.
+    ``lanes``: decode lanes per image (beam width). The memory K/V stay ONE
+    copy per image — beam lanes read them through grouped cross-attention
+    (models/layers.py::mha_step_grouped) — while self-attention caches are
+    allocated per lane.
+
+    Returns a pytree: {'mem_kv': [(k, v)] per layer with shape (B, H, Tm, hd),
+    'self_kv': [(k, v)] per layer with shape (B*lanes, H, max_len, hd),
+    'mem_valid': (B, Tm)}.
     """
     b = memory.shape[0]
     h, hd = cfg.num_heads, cfg.head_dim
     mem_kv = [mha_precompute_kv(lp["cross"], memory, h) for lp in params["dec"]["layers"]]
     self_kv = [
         (
-            jnp.zeros((b, h, cfg.decode_max_len, hd), memory.dtype),
-            jnp.zeros((b, h, cfg.decode_max_len, hd), memory.dtype),
+            jnp.zeros((b * lanes, h, cfg.decode_max_len, hd), memory.dtype),
+            jnp.zeros((b * lanes, h, cfg.decode_max_len, hd), memory.dtype),
         )
         for _ in params["dec"]["layers"]
     ]
     return {"mem_kv": mem_kv, "self_kv": self_kv, "mem_valid": ~memory_pad_mask}
 
 
-def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx, window: int | None = None):
+def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx, window: int | None = None,
+                lineage=None):
     """One decode step for a batch of lanes.
 
     tokens: (B,) int32 current input tokens; pos: scalar int32 position.
     ``window``: static self-attention cache window (requires pos < window); see
-    decoder_layer_step. Returns (logits (B, V), new_state).
+    decoder_layer_step. ``lineage``: (B, Tmax) beam parent-pointer table for
+    gather-at-read self-attention (see decoder_layer_step).
+    Returns (logits (B, V), new_state).
     """
     dec = params["dec"]
     x = dec["tok_emb"][tokens] + jax.lax.dynamic_index_in_dim(dec["pos_emb"], pos, axis=0, keepdims=False)
     x = x.astype(state["mem_kv"][0][0].dtype)
     new_self = []
     for lp, (sk, sv), (mk, mv) in zip(dec["layers"], state["self_kv"], state["mem_kv"]):
-        x, sk, sv = decoder_layer_step(lp, ctx, x, pos, sk, sv, mk, mv, state["mem_valid"], window)
+        x, sk, sv = decoder_layer_step(lp, ctx, x, pos, sk, sv, mk, mv, state["mem_valid"], window,
+                                       lineage=lineage)
         new_self.append((sk, sv))
     logits = dense(dec["out"], x)
     return logits, {**state, "self_kv": new_self}

@@ -49,12 +49,47 @@ def create_high_res_text_stamp(text: str, target_w: int, target_h: int, font_pat
 
 
 def generate_searchable_pdf(image_path, layout_results, output_path, font_path) -> Path:
-    """layout_results: [{"text", "bbox"}]. Writes the hybrid PDF."""
+    """layout_results: [{"text", "bbox"}]. Writes the hybrid PDF.
+
+    Backend order: reportlab if installed (reference parity), else the vendored
+    pure-Python writer (pipeline/minipdf.py — same invisible selectable text
+    layer, embedded TTF + ToUnicode), else a PIL image-only PDF."""
     try:
         return _reportlab_pdf(image_path, layout_results, output_path, font_path)
     except ImportError:
-        logger.warning("reportlab not installed — writing image-only PDF (no selectable text layer)")
+        pass
+    try:
+        return _minipdf_pdf(image_path, layout_results, output_path, font_path)
+    except Exception:
+        logger.exception("minipdf backend failed — writing image-only PDF (no selectable text layer)")
         return _pil_pdf(image_path, layout_results, output_path, font_path)
+
+
+def _composite_visual_layer(image_path, layout_results, font_path) -> Image.Image:
+    """Page image + white eraser rects + high-res text stamps (the visual half
+    of the hybrid PDF, reference inference_pdf.py:160-189), host-side PIL."""
+    page = Image.open(image_path).convert("RGB")
+    draw = ImageDraw.Draw(page)
+    for item in layout_results:
+        text = item["text"]
+        x0, y0, x1, y1 = (int(v) for v in item["bbox"])
+        if x1 <= x0 or y1 <= y0 or not text:
+            continue
+        draw.rectangle([x0 - 2, y0 - 2, x1 + 2, y1 + 2], fill="white")
+        stamp = create_high_res_text_stamp(text, x1 - x0, y1 - y0, str(font_path))
+        stamp = stamp.resize((x1 - x0, y1 - y0))
+        page.paste(stamp, (x0, y0), stamp)
+    return page
+
+
+def _minipdf_pdf(image_path, layout_results, output_path, font_path) -> Path:
+    """Vendored searchable-PDF backend: PIL visual layer + invisible text runs
+    (mode-3 rendering) in an embedded CIDFontType2 with ToUnicode."""
+    from .minipdf import SearchablePdfWriter, TrueTypeFont
+
+    page = _composite_visual_layer(image_path, layout_results, font_path)
+    font = TrueTypeFont(font_path)
+    return SearchablePdfWriter().write(output_path, page, layout_results, font)
 
 
 def _reportlab_pdf(image_path, layout_results, output_path, font_path) -> Path:
@@ -101,17 +136,7 @@ def _reportlab_pdf(image_path, layout_results, output_path, font_path) -> Path:
 
 
 def _pil_pdf(image_path, layout_results, output_path, font_path) -> Path:
-    page = Image.open(image_path).convert("RGB")
-    draw = ImageDraw.Draw(page)
-    for item in layout_results:
-        text = item["text"]
-        x0, y0, x1, y1 = (int(v) for v in item["bbox"])
-        if x1 <= x0 or y1 <= y0 or not text:
-            continue
-        draw.rectangle([x0 - 2, y0 - 2, x1 + 2, y1 + 2], fill="white")
-        stamp = create_high_res_text_stamp(text, x1 - x0, y1 - y0, str(font_path))
-        stamp = stamp.resize((x1 - x0, y1 - y0))
-        page.paste(stamp, (x0, y0), stamp)
+    page = _composite_visual_layer(image_path, layout_results, font_path)
     page.save(str(output_path), "PDF")
     return Path(output_path)
 

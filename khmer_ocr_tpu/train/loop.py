@@ -40,6 +40,7 @@ def train(
     eye_test_every: int = 500,
     num_epochs: int | None = None,
     resume_from: str | Path | None = None,
+    metrics_path: str | Path | None = None,
 ):
     """Train the configured model; returns the final TrainState.
 
@@ -111,6 +112,7 @@ def train(
                     epoch, total_epochs, sample_size, tcfg.batch_size)
         epoch_loss, epoch_batches = 0.0, 0
         running, t0 = 0.0, time.time()
+        ep_t0 = t0
         for bidx, batch in enumerate(
             dataset.epoch_batches(
                 tcfg.batch_size, np_rng, sample_size=sample_size,
@@ -144,6 +146,18 @@ def train(
                 logger.info("eye test | TRUE: %s | PRED: %s", true, pred)
         logger.info("epoch %d done: mean loss %.4f over %d batches",
                     epoch, epoch_loss / max(epoch_batches, 1), epoch_batches)
+        if metrics_path is not None:
+            import json
+
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch,
+                    "mean_loss": epoch_loss / max(epoch_batches, 1),
+                    "batches": epoch_batches,
+                    "lines_per_sec": round(epoch_batches * tcfg.batch_size / max(time.time() - ep_t0, 1e-9), 1),
+                    "lr": schedule(step - 1),
+                    "step": step,
+                }) + "\n")
         if epoch % tcfg.checkpoint_every_epochs == 0 or epoch == total_epochs:
             path = save_checkpoint(
                 ckpt_dir / f"epoch{epoch:03d}", state.params, state.batch_stats, mcfg,

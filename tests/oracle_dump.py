@@ -77,6 +77,22 @@ def main(backbone: str, out_path: str) -> None:
     blobs["beam_memory"] = mem_b.numpy()
     blobs["beam_tokens"] = np.array(oracle_beam(tm, mem_b, beam_width=3, max_len=16), np.int32)
 
+    # beam stress (round-2 VERDICT #8): batched x padded-memory x long decode.
+    # Four memories of different valid lengths; the reference decodes each at
+    # its exact length (B=1, no padding — predictor.py:64), our side decodes
+    # all four batched with key-padding masks. 128 steps exercises the staged
+    # cache windows across 32/64/128 boundaries.
+    rng = np.random.RandomState(11)
+    lens = [32, 64, 96, 128]
+    mem_s = (rng.randn(4, 128, 384) * 0.5).astype(np.float32)
+    for i, L in enumerate(lens):
+        mem_s[i, L:] = 0.0
+    blobs["beam_stress_memory"] = mem_s
+    blobs["beam_stress_lens"] = np.array(lens, np.int32)
+    for i, L in enumerate(lens):
+        toks = oracle_beam(tm, torch.from_numpy(mem_s[i : i + 1, :L]), beam_width=3, max_len=128)
+        blobs[f"beam_stress_tokens_{i}"] = np.array(toks, np.int32)
+
     np.savez_compressed(out_path, **blobs)
     print(f"oracle dump: {backbone} -> {out_path} ({len(blobs)} arrays)")
 

@@ -102,6 +102,30 @@ def test_data_parallel_decode_matches():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_data_parallel_beam_decode_matches():
+    """Beam-3 (grouped cross-attention + lineage gathers) must be exact under
+    batch sharding — the published-CER decode config on the serving mesh."""
+    from khmer_ocr_tpu.infer.predictor import _infer_jit
+    from khmer_ocr_tpu.models.ocr_model import init_model
+
+    params, stats = init_model(jax.random.PRNGKey(3), TINY)
+    rng = np.random.RandomState(3)
+    chunks = jnp.asarray(rng.uniform(-1, 1, (8, 2, 48, 100)).astype(np.float32))
+    counts = jnp.asarray(np.full((8,), 2, np.int32))
+    dc = DecodeConfig(beam_width=3, max_len=16)
+    ref = np.asarray(_infer_jit(params, stats, chunks, counts, TINY, dc, True, "highest"))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    out = np.asarray(_infer_jit(
+        jax.tree.map(lambda x: jax.device_put(x, replicate(mesh)), params),
+        jax.tree.map(lambda x: jax.device_put(x, replicate(mesh)), stats),
+        jax.device_put(chunks, batch_sharding(mesh, 4)),
+        jax.device_put(counts, batch_sharding(mesh, 1)),
+        TINY, dc, True, "highest",
+    ))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_mesh_predictor_matches_single_device():
     """Predictor(mesh=...) data-parallel serving gives identical strings."""
     from khmer_ocr_tpu.config import OCRConfig, RuntimeConfig

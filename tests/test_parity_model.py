@@ -131,6 +131,29 @@ def test_greedy_parity(setup):
     assert got == blobs["greedy_tokens"].tolist(), f"{got} != {blobs['greedy_tokens']}"
 
 
+def test_beam_stress_parity(setup):
+    """Batched-beam x padded-memory x 128-step oracle parity (round-2 widening
+    of the beam evidence): four images with valid memory lengths 32/64/96/128
+    decode TOGETHER as masked lanes; each string must equal the reference's
+    per-image exact-length beam decode."""
+    backbone, blobs, params, stats, cfg = setup
+    if backbone != "se_vgg":
+        pytest.skip("decode params are backbone-independent; one backbone suffices")
+    memory = jnp.asarray(blobs["beam_stress_memory"])  # (4, 128, 384)
+    lens = blobs["beam_stress_lens"]
+    pad = jnp.asarray(np.arange(memory.shape[1])[None, :] >= lens[:, None])
+    dec_cfg = DecodeConfig(beam_width=3, max_len=128)
+    with jax.default_matmul_precision(PREC):
+        b_fn = jax.jit(lambda p, m, pm: beam_decode(p, m, pm, cfg, dec_cfg))
+        ours = np.asarray(b_fn(params, memory, pad))
+    for i in range(4):
+        got = [int(t) for t in ours[i] if t != 0]
+        if 3 in got:
+            got = got[: got.index(3)]
+        ref = [int(t) for t in blobs[f"beam_stress_tokens_{i}"] if t != 3]
+        assert got == ref, f"image {i} (len {lens[i]}): {got} != {ref}"
+
+
 def test_beam_parity(setup):
     backbone, blobs, params, stats, cfg = setup
     memory = jnp.asarray(blobs["beam_memory"])
