@@ -10,6 +10,11 @@ Usage: python examples/profile_encode.py [--batch 512]
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root (run directly from anywhere)
+
 import argparse
 import time
 

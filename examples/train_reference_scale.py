@@ -16,6 +16,11 @@ Usage: python examples/train_reference_scale.py [--epochs 100] [--resume auto]
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root (run directly from anywhere)
+
 import argparse
 import json
 import logging
@@ -84,6 +89,8 @@ def main() -> int:
     p.add_argument("--resume", type=str, default=None, help="'auto' or a checkpoint dir")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--skip-eval", action="store_true")
+    p.add_argument("--corpus-only", action="store_true",
+                   help="Build + cache the corpus and eval splits, then exit (CPU-only)")
     args = p.parse_args()
 
     import dataclasses
@@ -95,6 +102,9 @@ def main() -> int:
     work = Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
     samples, _cache = build_corpus(work, args.train_n, args.eval_n, args.processes)
+    if args.corpus_only:
+        logger.info("corpus-only run complete (%d lines)", len(samples))
+        return 0
 
     config = OCRConfig()
     config = config.replace(
