@@ -138,10 +138,30 @@ class Preprocessor:
         line = resize_line(load_grayscale(image_source), self.cfg)
         return normalize(chunk_line(line, self.cfg, n_chunks))
 
+    def _load_line(self, src) -> np.ndarray:
+        """Decode+grayscale+resize one source -> float32 (H, W) in [0, 1].
+
+        File paths take the native C++ loader (native/imageio.cpp —
+        Pillow-bit-exact for PNG, GIL-free, so the thread-pool workers in
+        `iter_batches` actually run in parallel); anything else — PIL images,
+        arrays, exotic formats, the binarize variant — uses the PIL path.
+        """
+        cfg = self.cfg
+        if not cfg.binarize and isinstance(src, (str, Path)):
+            from .native.imageio import load_resize_gray
+
+            cap_w = (self.runtime.chunk_buckets[-1] - 1) * cfg.chunk_stride + cfg.chunk_width
+            line = load_resize_gray(src, out_h=cfg.img_height, min_w=cfg.min_width, cap_w=cap_w)
+            if line is not None:
+                return line
+            if not Path(src).exists():
+                raise FileNotFoundError(f"Image not found: {src}")
+        return resize_line(load_grayscale(src), cfg)
+
     def _prepare_one(self, src):
         """Worker: full host prep for one line -> (bucket, count, chunks)."""
         cfg, buckets = self.cfg, self.runtime.chunk_buckets
-        line = resize_line(load_grayscale(src), cfg)
+        line = self._load_line(src)
         n = min(cfg.num_chunks(line.shape[1]), buckets[-1])
         bucket_n = bucket_for(n, buckets)
         return bucket_n, n, normalize(chunk_line(line, cfg, bucket_n))
