@@ -75,15 +75,24 @@ def bench_device(params, stats, cfg, dtype, beam_width: int, batches):
 
 
 def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 3):
-    """images-in -> strings-out through the public Predictor (host preprocess
-    + bucketing + device decode), on realistic rendered Khmer lines."""
+    """image FILES in -> strings out through the public Predictor (native C++
+    decode+resize loader, bucketing, device decode), on rendered Khmer lines
+    saved to disk — the realistic serving input."""
+    import tempfile
+    from pathlib import Path
+
     from khmer_ocr_tpu.config import OCRConfig
     from khmer_ocr_tpu.data.generator import DocumentTextGenerator
     from khmer_ocr_tpu.infer.predictor import Predictor
 
     gen = DocumentTextGenerator(seed=3, augment=False, words_per_sample=(1, 6))
     samples = gen.generate(n_images, processes=1)
-    images = [img for img, _ in samples]
+    tmp = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
+    images = []
+    for i, (img, _) in enumerate(samples):
+        p = tmp / f"{i}.png"
+        img.save(p)
+        images.append(str(p))
 
     predictor = Predictor(params=params, batch_stats=stats, model_cfg=cfg, config=OCRConfig())
     # full warm pass: every (chunk-bucket, batch-bucket) shape this workload

@@ -20,11 +20,17 @@ Performance design (round-1 VERDICT next-steps #1-2):
 
   * **Pointer-table lineage instead of cache reorder.** Beams share prefixes;
     instead of physically re-gathering every layer's K/V prefix after each
-    step's parent selection (a full prefix copy per step), a lineage table
-    ``lineage[l, t] = lane that wrote slot t of lane l's history`` is carried,
-    and the self-attention read gathers through it (models/layers.py
-    decoder_layer_step) — the gather rides the read the attention performs
-    anyway, halving per-step HBM traffic.
+    step's parent selection (a full prefix copy per step), an image-local
+    lineage table ``lineage[b, l, t] = lane (0..K-1) that wrote slot t of lane
+    l's history`` is carried, and the self-attention read gathers through it
+    (models/layers.py::_attend_beam) — the gather rides the read the attention
+    performs anyway. Three gather-free selection schemes (one-hot K/V
+    multiply-add, per-parent logit select, joint union-softmax) were
+    benchmarked on v5e and all lost to the straight gather at K=3.
+  * **Stage-sequential window loops.** One `lax.while_loop` per cache-window
+    stage instead of a per-step `lax.switch`: conditional boundaries force
+    result copies of the carried KV caches every step; sequential stage loops
+    carry them copy-free and let an early-exiting batch skip later stages.
   * **Provably-safe early exit.** Per-step logprobs are <= 0, so an active
     beam with raw score ``s`` can never complete with normalized score above
     ``s / (max_len + 1)`` (raw only decreases; the denominator — final
@@ -43,7 +49,14 @@ import jax.numpy as jnp
 
 from ..config import DecodeConfig, ModelConfig
 from ..models.layers import NEG_INF, Ctx
-from ..models.ocr_model import decode_step, decode_windows, init_decode_state
+from ..models.ocr_model import decode_step, decode_windows, init_decode_state, pack_decode_params
+
+
+def _onehot_combine(sel, x):
+    """``sum_p sel[b, l, p] * x[b, p, ...]`` — a K-term multiply-add standing in
+    for a small axis-1 gather (TPU-hostile)."""
+    extra = (1,) * (x.ndim - 2)  # x[:, None] has ndim x.ndim + 1; sel has 3
+    return jnp.sum(sel.astype(x.dtype).reshape(sel.shape + extra) * x[:, None], axis=2)
 
 
 def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg: DecodeConfig):
@@ -54,8 +67,11 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
 
     # memory K/V stay ONE copy per image — lanes read them through grouped
-    # cross-attention (K x less HBM traffic); self caches are per lane.
-    state = init_decode_state(params, memory, memory_pad_mask, model_cfg, lanes=k)
+    # cross-attention (K x less HBM traffic); self caches are per lane. The
+    # cache is sized to this run's horizon, not the 256-slot positional cap.
+    state = init_decode_state(params, memory, memory_pad_mask, model_cfg, lanes=k,
+                              cache_len=max_len)
+    params = pack_decode_params(params)
 
     tokens = jnp.full((b, k, max_len + 2), dec_cfg.pad_idx, dtype=jnp.int32)
     tokens = tokens.at[:, :, 0].set(dec_cfg.sos_idx)
@@ -63,68 +79,79 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     scores = jnp.full((b, k), NEG_INF, dtype=jnp.float32).at[:, 0].set(0.0)
     best_done_score = jnp.full((b,), NEG_INF, dtype=jnp.float32)
     best_done_tokens = jnp.full((b, max_len + 2), dec_cfg.pad_idx, dtype=jnp.int32)
-    # lineage[l, t]: lane that wrote self-KV slot t of lane l's history. Columns
-    # >= pos are unset garbage — reads mask them (slot pos itself reads as self).
+    # lineage[b, l, t]: IMAGE-LOCAL lane (0..K-1) that wrote self-KV slot t of
+    # lane l's history. Columns >= pos are unset garbage — reads mask them
+    # (slot pos itself reads as self).
     cache_len = state["self_kv"][0][0].shape[2]
-    lineage = jnp.broadcast_to(jnp.arange(b * k, dtype=jnp.int32)[:, None], (b * k, cache_len))
+    lineage = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :, None], (b, k, cache_len))
 
     windows = decode_windows(max_len)
+    lane_ids = jnp.arange(k, dtype=jnp.int32)
 
-    def cond(carry):
-        pos, tokens, scores, state, lineage, best_done_score, best_done_tokens = carry
-        # bound on any future completion's normalized score per image (see module
-        # docstring); strict improvement is required to replace best_done, so
-        # exit as soon as bound <= best_done for every image.
-        bound = scores.max(axis=1) / jnp.float32(max_len + 1)
-        return (pos < max_len) & ~jnp.all(bound <= best_done_score)
+    def make_body(w):
+        def body(carry):
+            pos, tokens, scores, state, lineage, best_done_score, best_done_tokens = carry
+            cur = tokens[:, :, pos].reshape(b * k)
+            # absolute parent pointers for this step's K/V gather: slot `pos`
+            # (just written by self) maps to self; earlier slots route via
+            # lineage; slots > pos are garbage but masked by the attention.
+            lin_abs = (lineage[:, :, :w] + k * jnp.arange(b, dtype=jnp.int32)[:, None, None])
+            lin_abs = lin_abs.reshape(b * k, w)
+            own_abs = jnp.arange(b * k, dtype=jnp.int32)[:, None]
+            idx = jnp.where(jnp.arange(w)[None, :] == pos, own_abs, lin_abs)
+            logits, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w,
+                                        lineage_idx=idx)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
 
-    def body(carry):
-        pos, tokens, scores, state, lineage, best_done_score, best_done_tokens = carry
-        cur = tokens[:, :, pos].reshape(b * k)
-        # staged cache window (see decode/greedy.py) — KV reads touch only the
-        # active prefix
-        stage = sum(jnp.int32(pos >= w) for w in windows[:-1])
-        branches = [
-            (lambda w: lambda st: decode_step(params, st, cur, pos, model_cfg, ctx, window=w,
-                                              lineage=lineage))(w)
-            for w in windows
-        ]
-        logits, state = jax.lax.switch(stage, branches, state)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
+            top_lp, top_ids = jax.lax.top_k(logp, k)  # (B, K, K) per-beam candidates
+            cand = scores[:, :, None] + top_lp
+            is_eos = top_ids == dec_cfg.eos_idx
 
-        top_lp, top_ids = jax.lax.top_k(logp, k)  # (B, K, K) per-beam candidates
-        cand = scores[:, :, None] + top_lp
-        is_eos = top_ids == dec_cfg.eos_idx
+            # --- completed candidates: normalized by len(seq) = pos + 2 --------
+            norm = cand / jnp.float32(pos + 2)
+            eos_norm = jnp.where(is_eos, norm, NEG_INF).max(axis=2)  # (B, K) per beam
+            best_beam = jnp.argmax(eos_norm, axis=1)  # (B,)
+            step_best = jnp.take_along_axis(eos_norm, best_beam[:, None], axis=1)[:, 0]
+            improved = step_best > best_done_score
+            done_sel = (best_beam[:, None] == lane_ids[None, :])[:, None, :]  # (B, 1, K)
+            done_tok = _onehot_combine(done_sel, tokens)[:, 0]
+            done_tok = done_tok.at[:, pos + 1].set(dec_cfg.eos_idx)
+            best_done_tokens = jnp.where(improved[:, None], done_tok, best_done_tokens)
+            best_done_score = jnp.where(improved, step_best, best_done_score)
 
-        # --- completed candidates: normalized by len(seq) = pos + 2 ------------
-        norm = cand / jnp.float32(pos + 2)
-        eos_norm = jnp.where(is_eos, norm, NEG_INF).max(axis=2)  # (B, K) per beam
-        best_beam = jnp.argmax(eos_norm, axis=1)  # (B,)
-        step_best = jnp.take_along_axis(eos_norm, best_beam[:, None], axis=1)[:, 0]
-        improved = step_best > best_done_score
-        done_tok = jnp.take_along_axis(tokens, best_beam[:, None, None], axis=1)[:, 0]
-        done_tok = done_tok.at[:, pos + 1].set(dec_cfg.eos_idx)
-        best_done_tokens = jnp.where(improved[:, None], done_tok, best_done_tokens)
-        best_done_score = jnp.where(improved, step_best, best_done_score)
+            # --- next beams: best K non-eos candidates -------------------------
+            flat = jnp.where(is_eos, NEG_INF, cand).reshape(b, k * k)
+            new_scores, flat_idx = jax.lax.top_k(flat, k)  # ties -> lowest flat index
+            parent = (flat_idx // k).astype(jnp.int32)  # (B, K) image-local
+            new_tok = jnp.take_along_axis(top_ids.reshape(b, k * k), flat_idx, axis=1)
 
-        # --- next beams: best K non-eos candidates -----------------------------
-        flat = jnp.where(is_eos, NEG_INF, cand).reshape(b, k * k)
-        new_scores, flat_idx = jax.lax.top_k(flat, k)  # ties -> lowest flat index
-        parent = flat_idx // k  # (B, K)
-        new_tok = jnp.take_along_axis(top_ids.reshape(b, k * k), flat_idx, axis=1)
+            psel = parent[:, :, None] == lane_ids[None, None, :]  # (B, K, K)
+            tokens = _onehot_combine(psel, tokens)
+            tokens = tokens.at[:, :, pos + 1].set(new_tok)
 
-        tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
-        tokens = tokens.at[:, :, pos + 1].set(new_tok)
+            # lineage update replaces the physical cache reorder: inherit the
+            # parent's pointer rows, and slot `pos` (just written by the
+            # parent lane) now belongs to the parent.
+            lineage = _onehot_combine(psel, lineage).at[:, :, pos].set(parent)
 
-        # lineage update replaces the physical cache reorder: inherit the
-        # parent's pointer rows, and slot `pos` (just written by the parent
-        # lane) now belongs to the parent.
-        lane_parent = (parent + jnp.arange(b)[:, None] * k).reshape(b * k).astype(jnp.int32)
-        lineage = jnp.take(lineage, lane_parent, axis=0).at[:, pos].set(lane_parent)
+            return pos + 1, tokens, new_scores, state, lineage, best_done_score, best_done_tokens
 
-        return pos + 1, tokens, new_scores, state, lineage, best_done_score, best_done_tokens
+        return body
+
+    def make_cond(w):
+        def cond(carry):
+            pos, tokens, scores, state, lineage, best_done_score, best_done_tokens = carry
+            # bound on any future completion's normalized score per image (see
+            # module docstring); strict improvement is required to replace
+            # best_done, so exit as soon as bound <= best_done for every image.
+            bound = scores.max(axis=1) / jnp.float32(max_len + 1)
+            return (pos < min(w, max_len)) & ~jnp.all(bound <= best_done_score)
+
+        return cond
 
     carry = (jnp.int32(0), tokens, scores, state, lineage, best_done_score, best_done_tokens)
-    _, tokens, _, _, _, best_done_score, best_done_tokens = jax.lax.while_loop(cond, body, carry)
+    for w in windows:
+        carry = jax.lax.while_loop(make_cond(w), make_body(w), carry)
+    _, tokens, _, _, _, best_done_score, best_done_tokens = carry
     has_done = best_done_score > NEG_INF / 2
     return jnp.where(has_done[:, None], best_done_tokens, tokens[:, 0])

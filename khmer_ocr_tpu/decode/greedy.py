@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..config import DecodeConfig, ModelConfig
 from ..models.layers import Ctx
-from ..models.ocr_model import decode_step, decode_windows, init_decode_state
+from ..models.ocr_model import decode_step, decode_windows, init_decode_state, pack_decode_params
 
 
 def greedy_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg: DecodeConfig):
@@ -33,31 +33,37 @@ def greedy_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_c
     b = memory.shape[0]
     max_len = dec_cfg.max_len
     ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
-    state = init_decode_state(params, memory, memory_pad_mask, model_cfg)
+    # cache sized to this run's actual horizon, not the 256-slot positional cap
+    state = init_decode_state(params, memory, memory_pad_mask, model_cfg, cache_len=max_len)
     windows = decode_windows(max_len)
+    params = pack_decode_params(params)
 
     tokens = jnp.full((b, max_len + 1), dec_cfg.pad_idx, dtype=jnp.int32)
     tokens = tokens.at[:, 0].set(dec_cfg.sos_idx)
     finished = jnp.zeros((b,), dtype=bool)
 
-    def cond(carry):
-        pos, _, finished, _ = carry
-        return (pos < max_len) & ~jnp.all(finished)
+    def make_body(w):
+        def body(carry):
+            pos, tokens, finished, state = carry
+            cur = tokens[:, pos]
+            logits, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(finished, dec_cfg.pad_idx, nxt)
+            tokens = tokens.at[:, pos + 1].set(nxt)
+            finished = finished | (nxt == dec_cfg.eos_idx)
+            return pos + 1, tokens, finished, state
 
-    def body(carry):
-        pos, tokens, finished, state = carry
-        cur = tokens[:, pos]
-        branches = [
-            (lambda w: lambda st: decode_step(params, st, cur, pos, model_cfg, ctx, window=w))(w)
-            for w in windows
-        ]
-        stage = sum(jnp.int32(pos >= w) for w in windows[:-1])
-        logits, state = jax.lax.switch(stage, branches, state)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(finished, dec_cfg.pad_idx, nxt)
-        tokens = tokens.at[:, pos + 1].set(nxt)
-        finished = finished | (nxt == dec_cfg.eos_idx)
-        return pos + 1, tokens, finished, state
+        return body
 
-    _, tokens, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), tokens, finished, state))
-    return tokens
+    # One while_loop per window stage (not a per-step `lax.switch` over
+    # windows): conditional boundaries force result copies of the carried
+    # caches every step; sequential stage loops carry them copy-free, and a
+    # batch that finishes early skips the remaining stage loops outright.
+    carry = (jnp.int32(0), tokens, finished, state)
+    for w in windows:
+        def cond(carry, w=w):
+            pos, _, finished, _ = carry
+            return (pos < min(w, max_len)) & ~jnp.all(finished)
+
+        carry = jax.lax.while_loop(cond, make_body(w), carry)
+    return carry[1]

@@ -163,7 +163,8 @@ def forward_train(params, batch_stats, chunks, chunk_counts, tgt_in, cfg: ModelC
 # ---------------------------------------------------------------------------
 
 
-def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig, lanes: int = 1):
+def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig, lanes: int = 1,
+                      cache_len: int | None = None):
     """Precompute per-layer cross-attention K/V and allocate self-attention caches.
 
     ``lanes``: decode lanes per image (beam width). The memory K/V stay ONE
@@ -171,31 +172,50 @@ def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig, lanes: 
     (models/layers.py::mha_step_grouped) — while self-attention caches are
     allocated per lane.
 
+    ``cache_len``: self-attention cache slots. Defaults to the positional cap
+    (``cfg.decode_max_len``), but decode loops that run ``max_len`` steps only
+    ever write/read ``max_len`` slots — sizing the cache to the run (greedy.py
+    / beam.py pass it) shrinks every in-loop cache update and windowed read
+    proportionally, which matters because the step is KV-bandwidth-bound.
+
     Returns a pytree: {'mem_kv': [(k, v)] per layer with shape (B, H, Tm, hd),
-    'self_kv': [(k, v)] per layer with shape (B*lanes, H, max_len, hd),
+    'self_kv': [(k, v)] per layer with shape (B*lanes, H, cache_len, hd),
     'mem_valid': (B, Tm)}.
     """
     b = memory.shape[0]
     h, hd = cfg.num_heads, cfg.head_dim
+    n = cfg.decode_max_len if cache_len is None else min(cache_len, cfg.decode_max_len)
     mem_kv = [mha_precompute_kv(lp["cross"], memory, h) for lp in params["dec"]["layers"]]
     self_kv = [
         (
-            jnp.zeros((b * lanes, h, cfg.decode_max_len, hd), memory.dtype),
-            jnp.zeros((b * lanes, h, cfg.decode_max_len, hd), memory.dtype),
+            jnp.zeros((b * lanes, h, n, hd), memory.dtype),
+            jnp.zeros((b * lanes, h, n, hd), memory.dtype),
         )
         for _ in params["dec"]["layers"]
     ]
     return {"mem_kv": mem_kv, "self_kv": self_kv, "mem_valid": ~memory_pad_mask}
 
 
+def pack_decode_params(params):
+    """Derive a decode-optimized view of ``params`` ONCE before the decode loop:
+    each decoder layer gains a packed (D, 3D) self-QKV projection (see
+    layers.pack_step_params). Numerically identical; one MXU launch replaces
+    three in every step of the KV-bound decode loop."""
+    from .layers import pack_step_params
+
+    dec = dict(params["dec"])
+    dec["layers"] = [pack_step_params(lp) for lp in dec["layers"]]
+    return {**params, "dec": dec}
+
+
 def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx, window: int | None = None,
-                lineage=None):
+                lineage_idx=None):
     """One decode step for a batch of lanes.
 
     tokens: (B,) int32 current input tokens; pos: scalar int32 position.
     ``window``: static self-attention cache window (requires pos < window); see
-    decoder_layer_step. ``lineage``: (B, Tmax) beam parent-pointer table for
-    gather-at-read self-attention (see decoder_layer_step).
+    decoder_layer_step. ``lineage_idx``: (B, w) absolute beam parent pointers
+    for gather-at-read self-attention (see decoder_layer_step).
     Returns (logits (B, V), new_state).
     """
     dec = params["dec"]
@@ -204,7 +224,7 @@ def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx, window: 
     new_self = []
     for lp, (sk, sv), (mk, mv) in zip(dec["layers"], state["self_kv"], state["mem_kv"]):
         x, sk, sv = decoder_layer_step(lp, ctx, x, pos, sk, sv, mk, mv, state["mem_valid"], window,
-                                       lineage=lineage)
+                                       lineage_idx=lineage_idx)
         new_self.append((sk, sv))
     logits = dense(dec["out"], x)
     return logits, {**state, "self_kv": new_self}
