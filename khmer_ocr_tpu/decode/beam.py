@@ -82,7 +82,7 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     # lineage[b, l, t]: IMAGE-LOCAL lane (0..K-1) that wrote self-KV slot t of
     # lane l's history. Columns >= pos are unset garbage — reads mask them
     # (slot pos itself reads as self).
-    cache_len = state["self_kv"][0][0].shape[2]
+    cache_len = state["self_kv"][0][0].shape[1]
     lineage = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :, None], (b, k, cache_len))
 
     windows = decode_windows(max_len)

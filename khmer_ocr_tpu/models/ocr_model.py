@@ -38,7 +38,6 @@ from .layers import (
     encoder_layer,
     encoder_layer_init,
     linear_init,
-    mha_precompute_kv,
     trunc_normal,
 )
 
@@ -168,9 +167,9 @@ def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig, lanes: 
     """Precompute per-layer cross-attention K/V and allocate self-attention caches.
 
     ``lanes``: decode lanes per image (beam width). The memory K/V stay ONE
-    copy per image — beam lanes read them through grouped cross-attention
-    (models/layers.py::mha_step_grouped) — while self-attention caches are
-    allocated per lane.
+    copy per image — beam lanes read them through grouped merged-head
+    cross-attention (models/layers.py::_attend_merged_grouped) — while
+    self-attention caches are allocated per lane.
 
     ``cache_len``: self-attention cache slots. Defaults to the positional cap
     (``cfg.decode_max_len``), but decode loops that run ``max_len`` steps only
@@ -178,18 +177,25 @@ def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig, lanes: 
     / beam.py pass it) shrinks every in-loop cache update and windowed read
     proportionally, which matters because the step is KV-bandwidth-bound.
 
-    Returns a pytree: {'mem_kv': [(k, v)] per layer with shape (B, H, Tm, hd),
-    'self_kv': [(k, v)] per layer with shape (B*lanes, H, cache_len, hd),
+    K/V are stored MERGED-HEAD — (…, T, D) with the head partition applied at
+    attention time via a constant (D, H) segment matrix — so the per-step
+    attention contractions run as MXU matmuls streaming K/V once instead of
+    VPU multiply-reduce fusions (layers.py::_head_segments).
+
+    Returns a pytree: {'mem_kv': [(k, v)] per layer with shape (B, Tm, D),
+    'self_kv': [(k, v)] per layer with shape (B*lanes, cache_len, D),
     'mem_valid': (B, Tm)}.
     """
-    b = memory.shape[0]
-    h, hd = cfg.num_heads, cfg.head_dim
+    b, _, d = memory.shape
     n = cfg.decode_max_len if cache_len is None else min(cache_len, cfg.decode_max_len)
-    mem_kv = [mha_precompute_kv(lp["cross"], memory, h) for lp in params["dec"]["layers"]]
+    mem_kv = [
+        (dense(lp["cross"]["k"], memory), dense(lp["cross"]["v"], memory))
+        for lp in params["dec"]["layers"]
+    ]
     self_kv = [
         (
-            jnp.zeros((b * lanes, h, n, hd), memory.dtype),
-            jnp.zeros((b * lanes, h, n, hd), memory.dtype),
+            jnp.zeros((b * lanes, n, d), memory.dtype),
+            jnp.zeros((b * lanes, n, d), memory.dtype),
         )
         for _ in params["dec"]["layers"]
     ]
