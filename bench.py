@@ -40,25 +40,25 @@ def _rand_chunks(rng, b, n, dtype):
 
 
 def bench_device(params, stats, cfg, dtype, beam_width: int, batches):
-    """batches: list of (B, n_chunks). Returns lines/sec, enqueueing every batch
-    back-to-back and draining all results (on the axon remote client only a
-    device->host fetch truly synchronizes)."""
+    """batches: list of (B, n_chunks). Returns lines/sec. The whole mixed-bucket
+    sweep runs as ONE compiled program per iteration (host dispatch on the axon
+    runtime costs ~25-30 ms per program call — per-bucket dispatch would
+    dominate), iterations are enqueued back-to-back, and all results drain at
+    the end (on the axon remote client only a device->host fetch truly
+    synchronizes)."""
     import jax.numpy as jnp
 
     from khmer_ocr_tpu.config import DecodeConfig
-    from khmer_ocr_tpu.infer.predictor import _infer_jit
+    from khmer_ocr_tpu.infer.predictor import _infer_multi_jit
 
     rng = np.random.RandomState(0)
     dec_cfg = DecodeConfig(beam_width=beam_width, max_len=STEPS)
-    inputs = [
+    inputs = tuple(
         (_rand_chunks(rng, b, n, dtype), jnp.full((b,), n, jnp.int32)) for b, n in batches
-    ]
+    )
 
     def run_all():
-        return [
-            _infer_jit(params, stats, chunks, counts, cfg, dec_cfg, beam_width > 1, "default")
-            for chunks, counts in inputs
-        ]
+        return _infer_multi_jit(params, stats, inputs, cfg, dec_cfg, beam_width > 1, "default")
 
     for o in run_all():
         np.asarray(o)  # compile + warm every shape
@@ -85,22 +85,24 @@ def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 
     from khmer_ocr_tpu.data.generator import DocumentTextGenerator
     from khmer_ocr_tpu.infer.predictor import Predictor
 
+    from PIL import Image
+
     gen = DocumentTextGenerator(seed=3, augment=False, words_per_sample=(1, 6))
     samples = gen.generate(n_images, processes=1)
     tmp = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
     images = []
     for i, (img, _) in enumerate(samples):
         p = tmp / f"{i}.png"
-        img.save(p)
+        Image.fromarray(img).save(p)
         images.append(str(p))
 
     predictor = Predictor(params=params, batch_stats=stats, model_cfg=cfg, config=OCRConfig())
     # full warm pass: every (chunk-bucket, batch-bucket) shape this workload
     # hits compiles once here (and lands in the persistent cache)
-    predictor.predict_batch(images, beam_width=beam_width, batch_size=128, max_len=STEPS)
+    predictor.predict_batch(images, beam_width=beam_width, batch_size=256, max_len=STEPS)
 
     t0 = time.perf_counter()
-    texts = predictor.predict_batch(images, beam_width=beam_width, batch_size=128, max_len=STEPS)
+    texts = predictor.predict_batch(images, beam_width=beam_width, batch_size=256, max_len=STEPS)
     dt = time.perf_counter() - t0
     assert len(texts) == n_images
     return n_images / dt
@@ -128,7 +130,7 @@ def main() -> None:
     params = jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
     greedy = bench_device(params, stats, cfg, dtype, beam_width=1, batches=[(256, 4)])
-    mixed = [(128, 1), (128, 2), (128, 4), (128, 8)]  # published-CER config workload
+    mixed = [(256, 1), (256, 2), (256, 4), (256, 8)]  # published-CER config workload
     with profile_trace(args.trace, enabled=args.trace is not None):
         beam3 = bench_device(params, stats, cfg, dtype, beam_width=3, batches=mixed)
     e2e = bench_end_to_end(params, stats, cfg)

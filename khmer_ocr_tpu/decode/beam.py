@@ -50,6 +50,7 @@ import jax.numpy as jnp
 from ..config import DecodeConfig, ModelConfig
 from ..models.layers import NEG_INF, Ctx
 from ..models.ocr_model import decode_step, decode_windows, init_decode_state, pack_decode_params
+from ..ops.pallas.decode_step import should_use_fused
 
 
 def _onehot_combine(sel, x):
@@ -71,7 +72,15 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     # cache is sized to this run's horizon, not the 256-slot positional cap.
     state = init_decode_state(params, memory, memory_pad_mask, model_cfg, lanes=k,
                               cache_len=max_len)
-    params = pack_decode_params(params)
+    windows = decode_windows(max_len)
+    # per-stage fused decision (wide windows fall back to the XLA step)
+    _stage_fused = {
+        w: should_use_fused(b * k, k, w, memory.shape[1], memory.shape[2],
+                            model_cfg.dec_ffn_dim, model_cfg.num_heads,
+                            memory.dtype.itemsize)
+        for w in windows
+    }
+    params = pack_decode_params(params, fused=any(f for f, _ in _stage_fused.values()))
 
     tokens = jnp.full((b, k, max_len + 2), dec_cfg.pad_idx, dtype=jnp.int32)
     tokens = tokens.at[:, :, 0].set(dec_cfg.sos_idx)
@@ -85,22 +94,30 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     cache_len = state["self_kv"][0][0].shape[1]
     lineage = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :, None], (b, k, cache_len))
 
-    windows = decode_windows(max_len)
     lane_ids = jnp.arange(k, dtype=jnp.int32)
 
     def make_body(w):
+        fused, interp = _stage_fused[w]
+
         def body(carry):
             pos, tokens, scores, state, lineage, best_done_score, best_done_tokens = carry
             cur = tokens[:, :, pos].reshape(b * k)
-            # absolute parent pointers for this step's K/V gather: slot `pos`
-            # (just written by self) maps to self; earlier slots route via
-            # lineage; slots > pos are garbage but masked by the attention.
-            lin_abs = (lineage[:, :, :w] + k * jnp.arange(b, dtype=jnp.int32)[:, None, None])
-            lin_abs = lin_abs.reshape(b * k, w)
-            own_abs = jnp.arange(b * k, dtype=jnp.int32)[:, None]
-            idx = jnp.where(jnp.arange(w)[None, :] == pos, own_abs, lin_abs)
-            logits, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w,
-                                        lineage_idx=idx)
+            if fused:
+                # the fused kernel takes image-local parents and patches slot
+                # `pos` to self in-kernel
+                logits, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w,
+                                            fused=True, interpret=interp,
+                                            lineage_local=lineage[:, :, :w].reshape(b * k, w))
+            else:
+                # absolute parent pointers for this step's K/V gather: slot `pos`
+                # (just written by self) maps to self; earlier slots route via
+                # lineage; slots > pos are garbage but masked by the attention.
+                lin_abs = (lineage[:, :, :w] + k * jnp.arange(b, dtype=jnp.int32)[:, None, None])
+                lin_abs = lin_abs.reshape(b * k, w)
+                own_abs = jnp.arange(b * k, dtype=jnp.int32)[:, None]
+                idx = jnp.where(jnp.arange(w)[None, :] == pos, own_abs, lin_abs)
+                logits, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w,
+                                            lineage_idx=idx)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
 
             top_lp, top_ids = jax.lax.top_k(logp, k)  # (B, K, K) per-beam candidates

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..config import DecodeConfig, ModelConfig
 from ..models.layers import Ctx
 from ..models.ocr_model import decode_step, decode_windows, init_decode_state, pack_decode_params
+from ..ops.pallas.decode_step import should_use_fused
 
 
 def greedy_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg: DecodeConfig):
@@ -36,17 +37,28 @@ def greedy_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_c
     # cache sized to this run's actual horizon, not the 256-slot positional cap
     state = init_decode_state(params, memory, memory_pad_mask, model_cfg, cache_len=max_len)
     windows = decode_windows(max_len)
-    params = pack_decode_params(params)
+    # fused Pallas step per stage: wide cache windows whose VMEM tiling does
+    # not fit fall back to the XLA step for that stage only
+    stage_fused = {
+        w: should_use_fused(b, 1, w, memory.shape[1], memory.shape[2],
+                            model_cfg.dec_ffn_dim, model_cfg.num_heads,
+                            memory.dtype.itemsize)
+        for w in windows
+    }
+    params = pack_decode_params(params, fused=any(f for f, _ in stage_fused.values()))
 
     tokens = jnp.full((b, max_len + 1), dec_cfg.pad_idx, dtype=jnp.int32)
     tokens = tokens.at[:, 0].set(dec_cfg.sos_idx)
     finished = jnp.zeros((b,), dtype=bool)
 
     def make_body(w):
+        fused, interp = stage_fused[w]
+
         def body(carry):
             pos, tokens, finished, state = carry
             cur = tokens[:, pos]
-            logits, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w)
+            logits, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w,
+                                        fused=fused, interpret=interp)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             nxt = jnp.where(finished, dec_cfg.pad_idx, nxt)
             tokens = tokens.at[:, pos + 1].set(nxt)

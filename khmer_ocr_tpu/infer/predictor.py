@@ -39,11 +39,29 @@ def _infer_jit(params, batch_stats, chunks, counts, model_cfg: ModelConfig, dec_
         ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
         # compute dtype follows the params (bf16 params -> bf16 activations/caches)
         compute_dtype = jax.tree.leaves(params["patch"])[0].dtype
+        if chunks.dtype == jnp.uint8:
+            # uint8 transfer path: normalize on-device in f32 — bit-identical
+            # to the host normalize(chunk_line(...)) float path
+            chunks = (chunks.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         chunks = chunks.astype(compute_dtype)
         memory, pad_mask, _ = encode(params, batch_stats, chunks, counts, model_cfg, ctx, train=False)
         if use_beam:
             return beam_decode(params, memory, pad_mask, model_cfg, dec_cfg)
         return greedy_decode(params, memory, pad_mask, model_cfg, dec_cfg)
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "dec_cfg", "use_beam", "precision"))
+def _infer_multi_jit(params, batch_stats, batches, model_cfg: ModelConfig, dec_cfg: DecodeConfig,
+                     use_beam: bool, precision: str):
+    """Decode SEVERAL bucket batches in one compiled program — one host
+    dispatch for a whole mixed-bucket sweep. On the axon-tunneled runtime a
+    program call costs ~25-30 ms of host latency, so dispatch count — not
+    device time — can dominate mixed-bucket workloads; fusing the sweep
+    amortizes it. ``batches``: tuple of (chunks, counts) pairs."""
+    return tuple(
+        _infer_jit(params, batch_stats, chunks, counts, model_cfg, dec_cfg, use_beam, precision)
+        for chunks, counts in batches
+    )
 
 
 class Predictor:

@@ -199,39 +199,68 @@ def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig, lanes: 
         )
         for _ in params["dec"]["layers"]
     ]
-    return {"mem_kv": mem_kv, "self_kv": self_kv, "mem_valid": ~memory_pad_mask}
+    return {
+        "mem_kv": mem_kv,
+        "self_kv": self_kv,
+        "mem_valid": ~memory_pad_mask,
+        # float view for the fused Pallas step (bool blocks are awkward in Mosaic)
+        "mem_valid_f": (~memory_pad_mask).astype(jnp.float32),
+    }
 
 
-def pack_decode_params(params):
+def pack_decode_params(params, fused: bool = False):
     """Derive a decode-optimized view of ``params`` ONCE before the decode loop:
     each decoder layer gains a packed (D, 3D) self-QKV projection (see
     layers.pack_step_params). Numerically identical; one MXU launch replaces
-    three in every step of the KV-bound decode loop."""
+    three in every step of the KV-bound decode loop. With ``fused``, also
+    precompute each layer's flat 2D weight operands for the fused Pallas step
+    (ops/pallas/decode_step.py) so no reshapes happen inside the loop."""
     from .layers import pack_step_params
 
     dec = dict(params["dec"])
     dec["layers"] = [pack_step_params(lp) for lp in dec["layers"]]
+    if fused:
+        from ..ops.pallas.decode_step import layer_weights
+
+        dec["layers_fused"] = [layer_weights(lp) for lp in dec["layers"]]
     return {**params, "dec": dec}
 
 
 def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx, window: int | None = None,
-                lineage_idx=None):
+                lineage_idx=None, fused: bool = False, lineage_local=None, interpret: bool = False):
     """One decode step for a batch of lanes.
 
     tokens: (B,) int32 current input tokens; pos: scalar int32 position.
     ``window``: static self-attention cache window (requires pos < window); see
     decoder_layer_step. ``lineage_idx``: (B, w) absolute beam parent pointers
     for gather-at-read self-attention (see decoder_layer_step).
-    Returns (logits (B, V), new_state).
+
+    ``fused``: run each decoder layer as ONE fused Pallas kernel
+    (ops/pallas/decode_step.py) instead of ~12 XLA ops — requires params from
+    ``pack_decode_params(fused=True)``; beam callers pass ``lineage_local``
+    ((B, w) image-local parents, no pos-patching — the kernel patches) instead
+    of ``lineage_idx``. Returns (logits (B, V), new_state).
     """
     dec = params["dec"]
     x = dec["tok_emb"][tokens] + jax.lax.dynamic_index_in_dim(dec["pos_emb"], pos, axis=0, keepdims=False)
     x = x.astype(state["mem_kv"][0][0].dtype)
     new_self = []
-    for lp, (sk, sv), (mk, mv) in zip(dec["layers"], state["self_kv"], state["mem_kv"]):
-        x, sk, sv = decoder_layer_step(lp, ctx, x, pos, sk, sv, mk, mv, state["mem_valid"], window,
-                                       lineage_idx=lineage_idx)
-        new_self.append((sk, sv))
+    if fused:
+        from ..ops.pallas.decode_step import fused_decoder_layer_step
+
+        lanes = state["self_kv"][0][0].shape[0] // state["mem_kv"][0][0].shape[0]
+        w = window if window is not None else state["self_kv"][0][0].shape[1]
+        for lw, (sk, sv), (mk, mv) in zip(dec["layers_fused"], state["self_kv"], state["mem_kv"]):
+            x, sk, sv = fused_decoder_layer_step(
+                lw, x, pos, sk, sv, mk, mv, state["mem_valid_f"], lineage_local,
+                num_heads=ctx.num_heads, window=w, lanes=lanes, interpret=interpret,
+            )
+            new_self.append((sk, sv))
+    else:
+        for lp, (sk, sv), (mk, mv) in zip(dec["layers"], state["self_kv"], state["mem_kv"]):
+            x, sk, sv = decoder_layer_step(lp, ctx, x, pos, sk, sv, mk, mv, state["mem_valid"], window,
+                                           lineage_idx=lineage_idx)
+            new_self.append((sk, sv))
     logits = dense(dec["out"], x)
     return logits, {**state, "self_kv": new_self}
 

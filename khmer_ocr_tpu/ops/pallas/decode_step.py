@@ -1,0 +1,371 @@
+"""Fused decoder-layer decode-step Pallas kernel.
+
+One kernel launch per decoder layer per decode step, replacing the ~12 XLA
+ops/layer of the unfused path (models/layers.py::decoder_layer_step): packed
+self-QKV projection, KV-cache write at ``pos``, windowed self-attention (with
+optional beam parent-lineage select), residual+LN, grouped cross-attention over
+the per-image memory K/V, residual+LN, and the ReLU FFN — with every
+intermediate VMEM-resident. The decode step is KV-cache-bandwidth-bound
+(docs/NEXT_STEPS.md round-3 item 1: ~25 XLA kernels/step, 2-3x off the
+bandwidth roofline); fusing keeps the (B, D) activations on-chip so the only
+HBM traffic per launch is the K/V streams plus one pass over the layer weights.
+
+Matches the reference decoder semantics (se_model.py:162-208 via the parity-
+tested XLA path): post-LN residual order, ReLU FFN, per-head softmax attention.
+Attention logits/softmax accumulate in f32 (the bf16 XLA path keeps bf16
+throughout — the kernel is the more accurate of the two).
+
+Layout notes (see models/layers.py::_head_segments for the merged-head story):
+  * K/V stay merged-head (…, T, D); the head partition enters as a constant
+    segment mask built in-kernel, so both attention contractions are batched
+    MXU matmuls streaming K/V exactly once.
+  * Beam lanes are image-major rows (image i's lanes at rows i*K..i*K+K-1,
+    decode/beam.py); batch tiles are image-aligned so the lineage select
+    (k_read[b, t] = k_win[parent(b, t), t]) resolves within a tile as K
+    exact where-selects over (It, K, w, D) views — no gathers.
+  * Cross-attention reads ONE memory K/V copy per image for all K lanes.
+
+The caches are passed through ``input_output_aliases`` and only the (B, 1, D)
+slice at ``pos`` is written back — untouched slots keep their aliased input
+values, so there is no full-window write-back traffic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # matches models/layers.py
+LN_EPS = 1e-5
+
+import os as _os
+
+# Estimated-usage ceiling under the ~16 MB/core VMEM; overridable for tile
+# experiments. The estimator is conservative (Mosaic accepted the 15.2 MB-
+# estimated beam w=64 tiling that unlocks the 2.3x step win; 12 MB left that
+# stage on the XLA fallback).
+VMEM_BUDGET = int(_os.environ.get("KHMER_OCR_FUSED_VMEM", int(15.5 * 1024 * 1024)))
+
+# weight operand order (all 2D; vectors reshaped to (1, n) by the wrapper)
+_WEIGHT_FIELDS = (
+    "qkv_w", "qkv_b", "so_w", "so_b", "ln1_s", "ln1_b",
+    "cq_w", "cq_b", "co_w", "co_b", "ln2_s", "ln2_b",
+    "l1_w", "l1_b", "l2_w", "l2_b", "ln3_s", "ln3_b",
+)
+
+
+def layer_weights(lp) -> dict:
+    """Flatten a packed decoder-layer param dict (models/layers.py::
+    pack_step_params output) into the kernel's 2D weight operands."""
+    r = lambda v: v[None, :] if v.ndim == 1 else v
+    return {
+        "qkv_w": lp["self_qkv"]["w"], "qkv_b": r(lp["self_qkv"]["b"]),
+        "so_w": lp["self"]["o"]["w"], "so_b": r(lp["self"]["o"]["b"]),
+        "ln1_s": r(lp["ln1"]["scale"]), "ln1_b": r(lp["ln1"]["bias"]),
+        "cq_w": lp["cross"]["q"]["w"], "cq_b": r(lp["cross"]["q"]["b"]),
+        "co_w": lp["cross"]["o"]["w"], "co_b": r(lp["cross"]["o"]["b"]),
+        "ln2_s": r(lp["ln2"]["scale"]), "ln2_b": r(lp["ln2"]["bias"]),
+        "l1_w": lp["lin1"]["w"], "l1_b": r(lp["lin1"]["b"]),
+        "l2_w": lp["lin2"]["w"], "l2_b": r(lp["lin2"]["b"]),
+        "ln3_s": r(lp["ln3"]["scale"]), "ln3_b": r(lp["ln3"]["bias"]),
+    }
+
+
+def _weight_bytes(d: int, f: int, itemsize: int) -> int:
+    return itemsize * (d * 3 * d + d * d * 2 + d * f + f * d + 3 * d + f + 9 * d)
+
+
+def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, itemsize: int) -> int:
+    bt = it * k
+    blocks = 2 * (  # double-buffered in/out blocks
+        bt * d * itemsize  # x
+        + 2 * bt * w * d * itemsize  # self k/v window
+        + 2 * it * tm * d * itemsize  # mem k/v
+        + it * tm * 4  # valid mask
+        + bt * w * 4  # lineage
+        + 3 * bt * d * itemsize  # x_out + k/v slice outs
+    )
+    interm = (
+        2 * bt * w * d * itemsize * (1 if k > 1 else 0)  # lineage-selected k/v copies
+        + bt * 3 * d * 4  # qkv f32
+        + 3 * bt * w * max(8, d // max(1, d)) * 4  # self logits/softmax (approx)
+        + 3 * it * tm * 8 * k * 4  # cross logits/softmax (approx, H<=8 lanes*K)
+        + 2 * bt * f * 4  # ffn hidden
+        + 2 * bt * d * 4  # residual stream
+    )
+    return _weight_bytes(d, f, itemsize) + blocks + interm
+
+
+def choose_tile(n_images: int, k: int, w: int, tm: int, d: int, f: int, itemsize: int,
+                strict_tiling: bool = True):
+    """Largest image-tile It dividing n_images whose VMEM estimate fits.
+
+    ``strict_tiling`` (the TPU path) additionally requires the row tile
+    It*K to be sublane-aligned (divisible by 8) — Mosaic's block-shape rule.
+    Interpreter runs (tests) drop the alignment requirement so tiny shapes
+    still exercise the kernel."""
+    for it in range(min(n_images, 32), 0, -1):
+        if n_images % it:
+            continue
+        if strict_tiling and (it * k) % 8:
+            continue
+        if _vmem_estimate(it, k, w, tm, d, f, itemsize) <= VMEM_BUDGET:
+            return it
+    return None
+
+
+def fused_step_available(b_rows: int, k: int, w: int, tm: int, d: int, f: int,
+                         num_heads: int, itemsize: int, strict_tiling: bool = True) -> bool:
+    if b_rows <= 0 or b_rows % k:
+        return False
+    if d % num_heads:
+        return False
+    if w % 8:
+        return False  # the 8-slot-aligned cache writeback needs w % 8 == 0
+    return choose_tile(b_rows // k, k, w, tm, d, f, itemsize, strict_tiling) is not None
+
+
+def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
+                    has_lineage: bool, cdt):
+    from jax.experimental import pallas as pl
+
+    bt = it * k
+    hd = d // h
+    f32 = jnp.float32
+    inv_sqrt_hd = 1.0 / math.sqrt(hd)
+
+    def ln(x, s_ref, b_ref):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + LN_EPS) * s_ref[...].astype(f32) + b_ref[...].astype(f32)
+
+    def softmax1(x):  # softmax over axis 1, f32
+        m = jnp.max(x, axis=1, keepdims=True)
+        e = jnp.exp(x - m)
+        return e / jnp.sum(e, axis=1, keepdims=True)
+
+    def kernel(pos_ref, x_ref, k_cache_ref, v_cache_ref, mem_k_ref, mem_v_ref,
+               mem_valid_ref, *rest):
+        if has_lineage:
+            lineage_ref, *wrefs = rest
+        else:
+            lineage_ref = None
+            wrefs = rest
+        (qkv_w, qkv_b, so_w, so_b, ln1_s, ln1_b, cq_w, cq_b, co_w, co_b,
+         ln2_s, ln2_b, l1_w, l1_b, l2_w, l2_b, ln3_s, ln3_b) = wrefs[:-3]
+        x_out_ref, k_out_ref, v_out_ref = wrefs[-3:]
+
+        pos = pos_ref[0]
+        xin = x_ref[...]  # (Bt, D) cdt
+        x = xin.astype(f32)
+
+        # head-partition segment matrices (models/layers.py::_head_segments):
+        # seg_dh[d, h] = 1 iff feature d belongs to head h, seg_hd its transpose.
+        # Both attention contractions below run as ONE folded 2D matmul each —
+        # logits = (rows, D) @ seg_dh after an elementwise q*k product — because
+        # Mosaic lowers batched dot_general to per-row matmul loops that issue-
+        # bind the kernel (measured 635 us/step vs XLA's 506 at B=256).
+        seg_dh = (jax.lax.broadcasted_iota(jnp.int32, (d, h), 0) // hd
+                  == jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)).astype(f32)
+        seg_hd = (jax.lax.broadcasted_iota(jnp.int32, (h, d), 0)
+                  == jax.lax.broadcasted_iota(jnp.int32, (h, d), 1) // hd).astype(f32)
+
+        # ---- packed self-QKV projection + cache write ---------------------
+        qkv = jnp.dot(xin, qkv_w[...], preferred_element_type=f32) + qkv_b[...].astype(f32)
+        q_t = qkv[:, :d]
+        k_t = qkv[:, d:2 * d].astype(cdt)
+        v_t = qkv[:, 2 * d:].astype(cdt)
+        # patch this position into the window as a value-level select (Mosaic
+        # cannot prove a dynamic sublane store at ``pos`` aligned; a where over
+        # the VMEM-resident window is effectively free)
+        # NOTE: minor-dim insertion on i1 vectors is unsupported in Mosaic —
+        # build every mask by reshaping the 32-bit iota BEFORE comparing
+        t_iota_3 = jax.lax.broadcasted_iota(jnp.int32, (bt, w, 1), 1)
+        patch = t_iota_3 == pos
+        k_win = jnp.where(patch, k_t[:, None, :], k_cache_ref[...])  # (Bt, w, D)
+        v_win = jnp.where(patch, v_t[:, None, :], v_cache_ref[...])
+        # cache writeback rides an 8-slot-aligned block around ``pos`` (Mosaic
+        # requires sublane-divisible output blocks); the other 7 slots rewrite
+        # their unchanged window values
+        start = pl.multiple_of((pos // 8) * 8, 8)
+        t8 = start + jax.lax.broadcasted_iota(jnp.int32, (bt, 8, 1), 1)
+        patch8 = t8 == pos
+        k_out_ref[...] = jnp.where(patch8, k_t[:, None, :], k_cache_ref[:, pl.ds(start, 8), :])
+        v_out_ref[...] = jnp.where(patch8, v_t[:, None, :], v_cache_ref[:, pl.ds(start, 8), :])
+
+        if has_lineage:
+            # image-local parent per (row, slot); slot `pos` reads self
+            lin = lineage_ref[...]  # (Bt, w) int32 in [0, K)
+            t_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, w), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bt, w), 0) % k
+            lin = jnp.where(t_iota == pos, lane, lin)
+            lin4 = lin.reshape(it, k, w)[..., None]  # int32 reshape, then compare
+            k4 = k_win.reshape(it, k, w, d)
+            v4 = v_win.reshape(it, k, w, d)
+            k_read = jnp.zeros_like(k4)
+            v_read = jnp.zeros_like(v4)
+            for p in range(k):  # K exact where-selects; no gather
+                sel = lin4 == p
+                k_read = jnp.where(sel, k4[:, p:p + 1], k_read)
+                v_read = jnp.where(sel, v4[:, p:p + 1], v_read)
+            k_read = k_read.reshape(bt, w, d)
+            v_read = v_read.reshape(bt, w, d)
+        else:
+            k_read, v_read = k_win, v_win
+
+        # ---- windowed self-attention (folded merged-head matmuls) ---------
+        # elementwise passes over K/V run in the cache dtype (bf16 packs 2
+        # elements/lane on the VPU — these passes bound the kernel); the
+        # segment-matmul reductions and softmax accumulate in f32
+        seg_c = seg_dh.astype(cdt)
+        segT_c = seg_hd.astype(cdt)
+        prod = k_read * q_t.astype(cdt)[:, None, :]  # (Bt, w, D) cdt
+        logits = jnp.dot(prod.reshape(bt * w, d), seg_c,
+                         preferred_element_type=f32).reshape(bt, w, h)
+        logits = logits * inv_sqrt_hd
+        logits = jnp.where(t_iota_3 <= pos, logits, NEG_INF)
+        attn = softmax1(logits)  # (Bt, w, H) f32
+        a_exp = jnp.dot(attn.astype(cdt).reshape(bt * w, h), segT_c,
+                        preferred_element_type=f32).reshape(bt, w, d).astype(cdt)
+        sa = jnp.sum(a_exp * v_read, axis=1, dtype=f32)  # (Bt, D) f32
+        sa = jnp.dot(sa.astype(cdt), so_w[...], preferred_element_type=f32) + so_b[...].astype(f32)
+        x = ln(x + sa, ln1_s, ln1_b)
+
+        # ---- grouped cross-attention (one memory K/V per image) -----------
+        qc = jnp.dot(x.astype(cdt), cq_w[...], preferred_element_type=f32) + cq_b[...].astype(f32)
+        mem_kc = mem_k_ref[...]  # (It, Tm, D) cdt
+        mem_vc = mem_v_ref[...]
+        mem_ok = mem_valid_ref[...][:, :, None] > 0  # (It, Tm, 1)
+        qc3 = qc.astype(cdt).reshape(it, k, d)
+        ca_lanes = []
+        for p in range(k):  # each image's memory streams once per lane (VMEM)
+            cprod = mem_kc * qc3[:, p][:, None, :]  # (It, Tm, D) cdt
+            cl = jnp.dot(cprod.reshape(it * tm, d), seg_c,
+                         preferred_element_type=f32).reshape(it, tm, h)
+            cl = jnp.where(mem_ok, cl * inv_sqrt_hd, NEG_INF)
+            cattn = softmax1(cl)  # (It, Tm, H)
+            ce = jnp.dot(cattn.astype(cdt).reshape(it * tm, h), segT_c,
+                         preferred_element_type=f32).reshape(it, tm, d).astype(cdt)
+            ca_lanes.append(jnp.sum(ce * mem_vc, axis=1, dtype=f32)[:, None, :])  # (It, 1, D)
+        ca = ca_lanes[0] if k == 1 else jnp.concatenate(ca_lanes, axis=1)
+        ca = ca.reshape(bt, d)
+        ca = jnp.dot(ca.astype(cdt), co_w[...], preferred_element_type=f32) + co_b[...].astype(f32)
+        x = ln(x + ca, ln2_s, ln2_b)
+
+        # ---- ReLU FFN ------------------------------------------------------
+        h1 = jnp.dot(x.astype(cdt), l1_w[...], preferred_element_type=f32) + l1_b[...].astype(f32)
+        h1 = jnp.maximum(h1, 0.0)
+        h2 = jnp.dot(h1.astype(cdt), l2_w[...], preferred_element_type=f32) + l2_b[...].astype(f32)
+        x = ln(x + h2, ln3_s, ln3_b)
+        x_out_ref[...] = x.astype(x_out_ref.dtype)
+
+    return kernel
+
+
+def should_use_fused(b_rows: int, lanes: int, max_window: int, tm: int, d: int, f: int,
+                     num_heads: int, itemsize: int) -> tuple[bool, bool]:
+    """Trace-time policy: (use_fused, interpret).
+
+    Fused decode is on by default on TPU when the shapes fit the VMEM tiling;
+    ``KHMER_OCR_FUSED_DECODE=0`` disables it, ``=1`` forces it on other
+    backends through the Pallas interpreter (tests)."""
+    import os
+
+    env = os.environ.get("KHMER_OCR_FUSED_DECODE")
+    if env == "0":
+        return False, False
+    backend = jax.default_backend()
+    if backend != "tpu" and env != "1":
+        return False, False
+    if lanes == 1 and env != "1":
+        # measured on v5e (B=256, Tm=128, 64 steps): XLA greedy decode is
+        # already near its HBM roofline (202 us/step) and the kernel's small
+        # row tiles lose to it (297 us/step); beam is where fusion wins
+        # (839 vs 1116 us/step at 384 lanes) — in-kernel lineage select +
+        # grouped cross-attention beat XLA's gather. Auto mode fuses beam only.
+        return False, False
+    strict = backend == "tpu"
+    ok = fused_step_available(b_rows, lanes, max_window, tm, d, f, num_heads, itemsize,
+                              strict_tiling=strict)
+    return ok, not strict
+
+
+def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_valid_f,
+                             lineage=None, *, num_heads: int, window: int, lanes: int = 1,
+                             interpret: bool = False):
+    """One fused decoder-layer decode step.
+
+    weights: dict from `layer_weights`. x: (B, D) layer input at position
+    ``pos``. self_k/self_v: (B, L, D) merged-head caches (L >= window) —
+    returned updated at ``pos``. mem_k/mem_v: (B/lanes, Tm, D) per-image
+    memory projections; mem_valid_f: (B/lanes, Tm) float 1/0 validity.
+    lineage: (B, window) int32 image-local beam parents (None for greedy).
+    Returns (x_out, self_k, self_v).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d = x.shape
+    k = lanes
+    bi, tm, _ = mem_k.shape
+    assert bi * k == b, (bi, k, b)
+    w = min(window, self_k.shape[1])
+    assert w % 8 == 0, w
+    f = weights["l1_w"].shape[1]
+    it = choose_tile(bi, k, w, tm, d, f, x.dtype.itemsize, strict_tiling=not interpret)
+    assert it is not None, "caller must gate on fused_step_available"
+    bt = it * k
+    nt = bi // it
+    has_lineage = lineage is not None
+
+    cdt = x.dtype
+    grid = (nt,)
+
+    in_specs = [
+        pl.BlockSpec((bt, d), lambda i, sp: (i, 0)),
+        pl.BlockSpec((bt, w, d), lambda i, sp: (i, 0, 0)),
+        pl.BlockSpec((bt, w, d), lambda i, sp: (i, 0, 0)),
+        pl.BlockSpec((it, tm, d), lambda i, sp: (i, 0, 0)),
+        pl.BlockSpec((it, tm, d), lambda i, sp: (i, 0, 0)),
+        pl.BlockSpec((it, tm), lambda i, sp: (i, 0)),
+    ]
+    operands = [x, self_k, self_v, mem_k, mem_v, mem_valid_f]
+    if has_lineage:
+        in_specs.append(pl.BlockSpec((bt, w), lambda i, sp: (i, 0)))
+        operands.append(lineage)
+    for name in _WEIGHT_FIELDS:
+        wt = weights[name]
+        zeros = tuple(0 for _ in range(wt.ndim))
+        in_specs.append(pl.BlockSpec(wt.shape, lambda i, sp, z=zeros: z))
+        operands.append(wt)
+
+    out_specs = [
+        pl.BlockSpec((bt, d), lambda i, sp: (i, 0)),
+        pl.BlockSpec((bt, 8, d), lambda i, sp: (i, sp[0] // 8, 0)),
+        pl.BlockSpec((bt, 8, d), lambda i, sp: (i, sp[0] // 8, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, d), cdt),
+        jax.ShapeDtypeStruct(self_k.shape, self_k.dtype),
+        jax.ShapeDtypeStruct(self_v.shape, self_v.dtype),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    kernel = _kernel_factory(it, k, w, tm, d, num_heads, f, has_lineage, cdt)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    x_out, new_k, new_v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # operand indices count the scalar-prefetch arg: pos=0, x=1, self_k=2, self_v=3
+        input_output_aliases={2: 1, 3: 2},
+        interpret=interpret,
+    )(pos_arr, *operands)
+    return x_out, new_k, new_v

@@ -174,11 +174,21 @@ def test_bucketing():
     assert seen[1] == (2, 2)
     assert seen[2] == (4, 4)
     assert seen[3] == (8, 8)
-    # padding chunks are pure white (normalized -> -... white==1.0 -> (1-0.5)/0.5 = 1.0)
+    # padding chunks are pure white: uint8 255 on the (default) uint8 transfer
+    # path, 1.0 after normalization on the float path
     pre2 = Preprocessor(cfg, RuntimeConfig(chunk_buckets=(4,)))
     [b] = pre2.prepare_batches([imgs[0]])
     assert b.chunk_counts[0] == 1
-    np.testing.assert_allclose(b.chunks[0, 1:], 1.0)
+    assert b.chunks.dtype == np.uint8
+    np.testing.assert_allclose(b.chunks[0, 1:], 255)
+    pre3 = Preprocessor(cfg, RuntimeConfig(chunk_buckets=(4,), transfer_uint8=False))
+    [bf] = pre3.prepare_batches([imgs[0]])
+    np.testing.assert_allclose(bf.chunks[0, 1:], 1.0)
+    # the uint8 payload + device-side normalize is bit-identical to the
+    # host-normalized float path (every pixel sits on the uint8/255 grid)
+    np.testing.assert_array_equal(
+        (b.chunks.astype(np.float32) / 255.0 - 0.5) / 0.5, bf.chunks
+    )
 
 
 def test_load_grayscale_variants(tmp_path):

@@ -1,0 +1,108 @@
+"""Fused Pallas decode-step parity (interpreter mode on CPU).
+
+Three gates for ops/pallas/decode_step.py:
+  1. single layer-step outputs == the XLA decoder_layer_step bit-for-bit in
+     f32 (greedy and beam-lineage variants, several positions);
+  2. full greedy decode with the fused kernel == the XLA path token-for-token
+     across cache-window boundaries;
+  3. full beam-3 decode likewise (pointer lineage + grouped cross-attention).
+
+``KHMER_OCR_FUSED_DECODE=1`` forces the fused path through the Pallas
+interpreter off-TPU (ops/pallas/decode_step.py::should_use_fused).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from khmer_ocr_tpu.config import DecodeConfig, ModelConfig
+from khmer_ocr_tpu.decode import beam_decode, greedy_decode
+from khmer_ocr_tpu.models.layers import Ctx, decoder_layer_init, decoder_layer_step, pack_step_params
+from khmer_ocr_tpu.models.ocr_model import init_model
+from khmer_ocr_tpu.ops.pallas.decode_step import (
+    fused_decoder_layer_step,
+    fused_step_available,
+    layer_weights,
+)
+
+D, H, F = 64, 4, 256
+
+
+@pytest.mark.parametrize("lanes,pos", [(1, 0), (1, 5), (1, 15), (3, 0), (3, 7), (3, 15)])
+def test_layer_step_parity(lanes, pos):
+    b_img, w, tm, cache_len = 4, 16, 24, 32
+    lp = pack_step_params(decoder_layer_init(jax.random.PRNGKey(0), D, F))
+    ctx = Ctx(num_heads=H, dropout=0.0, deterministic=True)
+    r = np.random.RandomState(pos * 10 + lanes)
+    b = b_img * lanes
+    x = jnp.asarray(r.randn(b, D).astype(np.float32) * 0.3)
+    self_k = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3)
+    self_v = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3)
+    mem_k = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3)
+    mem_v = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3)
+    valid = jnp.asarray(r.rand(b_img, tm) > 0.2).at[:, 0].set(True)
+
+    if lanes > 1:
+        lin_local = jnp.asarray(r.randint(0, lanes, size=(b, w)).astype(np.int32))
+        lin_abs = lin_local + lanes * (jnp.arange(b, dtype=jnp.int32)[:, None] // lanes)
+        own = jnp.arange(b, dtype=jnp.int32)[:, None]
+        idx = jnp.where(jnp.arange(w)[None, :] == pos, own, lin_abs)
+    else:
+        lin_local = idx = None
+
+    x_ref, k_ref, v_ref = decoder_layer_step(
+        lp, ctx, x, pos, self_k, self_v, mem_k, mem_v, valid, window=w, lineage_idx=idx
+    )
+    assert fused_step_available(b, lanes, w, tm, D, F, H, 4, strict_tiling=False)
+    x_f, k_f, v_f = fused_decoder_layer_step(
+        layer_weights(lp), x, pos, self_k, self_v, mem_k, mem_v,
+        valid.astype(jnp.float32), lin_local,
+        num_heads=H, window=w, lanes=lanes, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), atol=2e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(k_f), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_ref))
+
+
+TINY = ModelConfig(vocab_size=40, emb_dim=D, num_heads=H, enc_layers=1, dec_layers=2,
+                   enc_ffn_dim=128, max_global_len=256, decode_max_len=80, backbone="vgg",
+                   use_bilstm=False)
+EOS, SOS, PAD = 3, 2, 0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params, _ = init_model(jax.random.PRNGKey(0), TINY)
+    rng = np.random.RandomState(1)
+    memory = jnp.asarray(rng.randn(2, 48, D).astype(np.float32) * 0.5)
+    pad = jnp.zeros((2, 48), bool).at[0, 40:].set(True)
+    return params, memory, pad
+
+
+def _tokens(fn, params, memory, pad):
+    return np.asarray(jax.jit(fn)(params, memory, pad))
+
+
+def test_greedy_fused_matches_xla(setup, monkeypatch):
+    params, memory, pad = setup
+    dc = DecodeConfig(beam_width=1, max_len=80, sos_idx=SOS, eos_idx=EOS, pad_idx=PAD)
+    fn = lambda p, m, pm: greedy_decode(p, m, pm, TINY, dc)
+    monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "0")
+    ref = _tokens(fn, params, memory, pad)
+    monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "1")
+    got = _tokens(lambda p, m, pm: greedy_decode(p, m, pm, TINY, dc), params, memory, pad)
+    np.testing.assert_array_equal(got, ref)
+    # decode must have crossed the 32-slot window boundary to exercise staging
+    assert (ref != PAD).sum(axis=1).max() > 33
+
+
+def test_beam_fused_matches_xla(setup, monkeypatch):
+    params, memory, pad = setup
+    dc = DecodeConfig(beam_width=3, max_len=80, sos_idx=SOS, eos_idx=EOS, pad_idx=PAD)
+    monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "0")
+    ref = _tokens(lambda p, m, pm: beam_decode(p, m, pm, TINY, dc), params, memory, pad)
+    monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "1")
+    got = _tokens(lambda p, m, pm: beam_decode(p, m, pm, TINY, dc), params, memory, pad)
+    np.testing.assert_array_equal(got, ref)

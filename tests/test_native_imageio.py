@@ -107,8 +107,12 @@ def test_preprocessor_native_path_matches_pil(tmp_path):
 
     n_ref = min(cfg.num_chunks(line.shape[1]), pre.runtime.chunk_buckets[-1])
     assert (bucket_n, n) == (bucket_for(n_ref, pre.runtime.chunk_buckets), n_ref)
+    # default transfer is uint8 (0..255); normalize on-device matches the
+    # host-normalized float path exactly
+    assert chunks.dtype == np.uint8
     np.testing.assert_array_equal(
-        chunks, normalize(chunk_line(line, cfg, bucket_n)))
+        (chunks.astype(np.float32) / 255.0 - 0.5) / 0.5,
+        normalize(chunk_line(line, cfg, bucket_n)))
 
 
 def test_preprocessor_missing_file_raises():
