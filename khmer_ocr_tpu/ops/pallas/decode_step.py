@@ -39,6 +39,10 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30  # matches models/layers.py
 LN_EPS = 1e-5
+# Every in-kernel dot pins DEFAULT precision: the caller may trace decode
+# under `jax.default_matmul_precision("highest")` (the f32 parity path), and
+# a HIGHEST-precision bf16 dot makes Mosaic reject the kernel ("Bad lhs type").
+_PREC = jax.lax.Precision.DEFAULT
 
 import os as _os
 
@@ -100,13 +104,19 @@ def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, itemsize: i
 
 def choose_tile(n_images: int, k: int, w: int, tm: int, d: int, f: int, itemsize: int,
                 strict_tiling: bool = True):
-    """Largest image-tile It dividing n_images whose VMEM estimate fits.
+    """Largest image-tile It dividing n_images whose VMEM footprint fits.
 
-    ``strict_tiling`` (the TPU path) additionally requires the row tile
-    It*K to be sublane-aligned (divisible by 8) — Mosaic's block-shape rule.
+    ``strict_tiling`` (the TPU path) requires the row tile It*K to be
+    sublane-aligned (divisible by 8) — Mosaic's block-shape rule — and caps
+    It at 8: Mosaic's scoped-VMEM allocator is opaque enough that analytic
+    estimates mis-rank real usage (a 15.0 MB-estimated (w=32, Tm=256) tile
+    OOMed at 18.2 MB real while a 15.2 MB-estimated (w=64, Tm=128) one fit),
+    so the strict gate pins the hardware-validated envelope (see
+    `fused_step_available`) instead of trusting the estimate near the limit.
     Interpreter runs (tests) drop the alignment requirement so tiny shapes
     still exercise the kernel."""
-    for it in range(min(n_images, 32), 0, -1):
+    cap = 8 if strict_tiling else 32
+    for it in range(min(n_images, cap), 0, -1):
         if n_images % it:
             continue
         if strict_tiling and (it * k) % 8:
@@ -124,6 +134,11 @@ def fused_step_available(b_rows: int, k: int, w: int, tm: int, d: int, f: int,
         return False
     if w % 8:
         return False  # the 8-slot-aligned cache writeback needs w % 8 == 0
+    if strict_tiling and (w > 64 or tm > 128):
+        # hardware-validated envelope on v5e (it=8): (w<=64, Tm<=128) compiles
+        # and wins 2.3x; (w=32, Tm=256) OOMs scoped VMEM at 18.2 MB. Wider
+        # windows/memories take the XLA step for that stage/bucket.
+        return False
     return choose_tile(b_rows // k, k, w, tm, d, f, itemsize, strict_tiling) is not None
 
 
@@ -173,7 +188,7 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
                   == jax.lax.broadcasted_iota(jnp.int32, (h, d), 1) // hd).astype(f32)
 
         # ---- packed self-QKV projection + cache write ---------------------
-        qkv = jnp.dot(xin, qkv_w[...], preferred_element_type=f32) + qkv_b[...].astype(f32)
+        qkv = jnp.dot(xin, qkv_w[...], preferred_element_type=f32, precision=_PREC) + qkv_b[...].astype(f32)
         q_t = qkv[:, :d]
         k_t = qkv[:, d:2 * d].astype(cdt)
         v_t = qkv[:, 2 * d:].astype(cdt)
@@ -223,18 +238,18 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
         segT_c = seg_hd.astype(cdt)
         prod = k_read * q_t.astype(cdt)[:, None, :]  # (Bt, w, D) cdt
         logits = jnp.dot(prod.reshape(bt * w, d), seg_c,
-                         preferred_element_type=f32).reshape(bt, w, h)
+                         preferred_element_type=f32, precision=_PREC).reshape(bt, w, h)
         logits = logits * inv_sqrt_hd
         logits = jnp.where(t_iota_3 <= pos, logits, NEG_INF)
         attn = softmax1(logits)  # (Bt, w, H) f32
         a_exp = jnp.dot(attn.astype(cdt).reshape(bt * w, h), segT_c,
-                        preferred_element_type=f32).reshape(bt, w, d).astype(cdt)
+                        preferred_element_type=f32, precision=_PREC).reshape(bt, w, d).astype(cdt)
         sa = jnp.sum(a_exp * v_read, axis=1, dtype=f32)  # (Bt, D) f32
-        sa = jnp.dot(sa.astype(cdt), so_w[...], preferred_element_type=f32) + so_b[...].astype(f32)
+        sa = jnp.dot(sa.astype(cdt), so_w[...], preferred_element_type=f32, precision=_PREC) + so_b[...].astype(f32)
         x = ln(x + sa, ln1_s, ln1_b)
 
         # ---- grouped cross-attention (one memory K/V per image) -----------
-        qc = jnp.dot(x.astype(cdt), cq_w[...], preferred_element_type=f32) + cq_b[...].astype(f32)
+        qc = jnp.dot(x.astype(cdt), cq_w[...], preferred_element_type=f32, precision=_PREC) + cq_b[...].astype(f32)
         mem_kc = mem_k_ref[...]  # (It, Tm, D) cdt
         mem_vc = mem_v_ref[...]
         mem_ok = mem_valid_ref[...][:, :, None] > 0  # (It, Tm, 1)
@@ -243,21 +258,21 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
         for p in range(k):  # each image's memory streams once per lane (VMEM)
             cprod = mem_kc * qc3[:, p][:, None, :]  # (It, Tm, D) cdt
             cl = jnp.dot(cprod.reshape(it * tm, d), seg_c,
-                         preferred_element_type=f32).reshape(it, tm, h)
+                         preferred_element_type=f32, precision=_PREC).reshape(it, tm, h)
             cl = jnp.where(mem_ok, cl * inv_sqrt_hd, NEG_INF)
             cattn = softmax1(cl)  # (It, Tm, H)
             ce = jnp.dot(cattn.astype(cdt).reshape(it * tm, h), segT_c,
-                         preferred_element_type=f32).reshape(it, tm, d).astype(cdt)
+                         preferred_element_type=f32, precision=_PREC).reshape(it, tm, d).astype(cdt)
             ca_lanes.append(jnp.sum(ce * mem_vc, axis=1, dtype=f32)[:, None, :])  # (It, 1, D)
         ca = ca_lanes[0] if k == 1 else jnp.concatenate(ca_lanes, axis=1)
         ca = ca.reshape(bt, d)
-        ca = jnp.dot(ca.astype(cdt), co_w[...], preferred_element_type=f32) + co_b[...].astype(f32)
+        ca = jnp.dot(ca.astype(cdt), co_w[...], preferred_element_type=f32, precision=_PREC) + co_b[...].astype(f32)
         x = ln(x + ca, ln2_s, ln2_b)
 
         # ---- ReLU FFN ------------------------------------------------------
-        h1 = jnp.dot(x.astype(cdt), l1_w[...], preferred_element_type=f32) + l1_b[...].astype(f32)
+        h1 = jnp.dot(x.astype(cdt), l1_w[...], preferred_element_type=f32, precision=_PREC) + l1_b[...].astype(f32)
         h1 = jnp.maximum(h1, 0.0)
-        h2 = jnp.dot(h1.astype(cdt), l2_w[...], preferred_element_type=f32) + l2_b[...].astype(f32)
+        h2 = jnp.dot(h1.astype(cdt), l2_w[...], preferred_element_type=f32, precision=_PREC) + l2_b[...].astype(f32)
         x = ln(x + h2, ln3_s, ln3_b)
         x_out_ref[...] = x.astype(x_out_ref.dtype)
 
