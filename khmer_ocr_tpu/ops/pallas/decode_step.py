@@ -81,12 +81,27 @@ def _weight_bytes(d: int, f: int, itemsize: int) -> int:
     return itemsize * (d * 3 * d + d * d * 2 + d * f + f * d + 3 * d + f + 9 * d)
 
 
+def _cross_chunk(tm: int) -> int | None:
+    """Streaming cross-attention chunk size for a memory longer than the
+    resident envelope: the largest divisor of tm among MXU-friendly sizes."""
+    for tc in (128, 96, 64, 32):
+        if tm % tc == 0:
+            return tc
+    return None
+
+
 def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, itemsize: int) -> int:
     bt = it * k
-    blocks = 2 * (  # double-buffered in/out blocks
+    if tm > 128:  # streaming cross: manual double-buffered (It, tc, D) scratch
+        tc = _cross_chunk(tm) or tm
+        mem_bytes = 2 * 2 * it * tc * d * itemsize  # not pipeline-doubled
+        tm_live = tc
+    else:
+        mem_bytes = 2 * 2 * 2 * it * tm * d * itemsize  # blocked, double-buffered
+        tm_live = tm
+    blocks = mem_bytes + 2 * (  # double-buffered in/out blocks
         bt * d * itemsize  # x
         + 2 * bt * w * d * itemsize  # self k/v window
-        + 2 * it * tm * d * itemsize  # mem k/v
         + it * tm * 4  # valid mask
         + bt * w * 4  # lineage
         + 3 * bt * d * itemsize  # x_out + k/v slice outs
@@ -95,7 +110,7 @@ def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, itemsize: i
         2 * bt * w * d * itemsize * (1 if k > 1 else 0)  # lineage-selected k/v copies
         + bt * 3 * d * 4  # qkv f32
         + 3 * bt * w * max(8, d // max(1, d)) * 4  # self logits/softmax (approx)
-        + 3 * it * tm * 8 * k * 4  # cross logits/softmax (approx, H<=8 lanes*K)
+        + 3 * it * tm_live * 8 * k * 4  # cross logits/softmax (approx, H<=8 lanes*K)
         + 2 * bt * f * 4  # ffn hidden
         + 2 * bt * d * 4  # residual stream
     )
@@ -134,17 +149,26 @@ def fused_step_available(b_rows: int, k: int, w: int, tm: int, d: int, f: int,
         return False
     if w % 8:
         return False  # the 8-slot-aligned cache writeback needs w % 8 == 0
-    if strict_tiling and (w > 64 or tm > 128):
-        # hardware-validated envelope on v5e (it=8): (w<=64, Tm<=128) compiles
-        # and wins 2.3x; (w=32, Tm=256) OOMs scoped VMEM at 18.2 MB. Wider
-        # windows/memories take the XLA step for that stage/bucket.
+    if tm > 128 and _cross_chunk(tm) is None:
+        return False  # streaming cross needs an MXU-friendly chunk divisor
+    if strict_tiling and (w > 64 or tm > 512):
+        # hardware-validated envelope on v5e (it=8): (w<=64, Tm<=128) resident
+        # cross-attention compiles and wins 2.3x; 128 < Tm <= 512 streams the
+        # memory K/V through a double-buffered online-softmax loop (a resident
+        # (w=32, Tm=256) tile OOMed scoped VMEM at 18.2 MB). Wider windows /
+        # longer memories take the XLA step for that stage/bucket.
         return False
     return choose_tile(b_rows // k, k, w, tm, d, f, itemsize, strict_tiling) is not None
 
 
 def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
-                    has_lineage: bool, cdt):
+                    has_lineage: bool, cdt, tc: int | None = None):
+    """``tc``: streaming cross-attention chunk size — when set, mem K/V arrive
+    as HBM refs and the kernel streams (It, tc, D) chunks through a manually
+    double-buffered online-softmax loop (flash-decoding style) instead of
+    holding (It, Tm, D) resident."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     bt = it * k
     hd = d // h
@@ -168,9 +192,13 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
         else:
             lineage_ref = None
             wrefs = rest
+        n_tail = 3 + (4 if tc is not None else 0)  # outs + (kbuf, vbuf, ksem, vsem)
         (qkv_w, qkv_b, so_w, so_b, ln1_s, ln1_b, cq_w, cq_b, co_w, co_b,
-         ln2_s, ln2_b, l1_w, l1_b, l2_w, l2_b, ln3_s, ln3_b) = wrefs[:-3]
-        x_out_ref, k_out_ref, v_out_ref = wrefs[-3:]
+         ln2_s, ln2_b, l1_w, l1_b, l2_w, l2_b, ln3_s, ln3_b) = wrefs[:-n_tail]
+        tail = wrefs[len(wrefs) - n_tail:]
+        x_out_ref, k_out_ref, v_out_ref = tail[:3]
+        if tc is not None:
+            kbuf, vbuf, ksem, vsem = tail[3:]
 
         pos = pos_ref[0]
         xin = x_ref[...]  # (Bt, D) cdt
@@ -250,22 +278,75 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
 
         # ---- grouped cross-attention (one memory K/V per image) -----------
         qc = jnp.dot(x.astype(cdt), cq_w[...], preferred_element_type=f32, precision=_PREC) + cq_b[...].astype(f32)
-        mem_kc = mem_k_ref[...]  # (It, Tm, D) cdt
-        mem_vc = mem_v_ref[...]
-        mem_ok = mem_valid_ref[...][:, :, None] > 0  # (It, Tm, 1)
         qc3 = qc.astype(cdt).reshape(it, k, d)
-        ca_lanes = []
-        for p in range(k):  # each image's memory streams once per lane (VMEM)
-            cprod = mem_kc * qc3[:, p][:, None, :]  # (It, Tm, D) cdt
-            cl = jnp.dot(cprod.reshape(it * tm, d), seg_c,
-                         preferred_element_type=f32, precision=_PREC).reshape(it, tm, h)
-            cl = jnp.where(mem_ok, cl * inv_sqrt_hd, NEG_INF)
-            cattn = softmax1(cl)  # (It, Tm, H)
-            ce = jnp.dot(cattn.astype(cdt).reshape(it * tm, h), segT_c,
-                         preferred_element_type=f32, precision=_PREC).reshape(it, tm, d).astype(cdt)
-            ca_lanes.append(jnp.sum(ce * mem_vc, axis=1, dtype=f32)[:, None, :])  # (It, 1, D)
-        ca = ca_lanes[0] if k == 1 else jnp.concatenate(ca_lanes, axis=1)
-        ca = ca.reshape(bt, d)
+        mvf = mem_valid_ref[...]  # (It, Tm) f32
+
+        if tc is None:
+            mem_kc = mem_k_ref[...]  # (It, Tm, D) cdt, VMEM-resident
+            mem_vc = mem_v_ref[...]
+            mem_ok = mvf[:, :, None] > 0  # (It, Tm, 1)
+            ca_lanes = []
+            for p in range(k):  # each image's memory streams once per lane (VMEM)
+                cprod = mem_kc * qc3[:, p][:, None, :]  # (It, Tm, D) cdt
+                cl = jnp.dot(cprod.reshape(it * tm, d), seg_c,
+                             preferred_element_type=f32, precision=_PREC).reshape(it, tm, h)
+                cl = jnp.where(mem_ok, cl * inv_sqrt_hd, NEG_INF)
+                cattn = softmax1(cl)  # (It, Tm, H)
+                ce = jnp.dot(cattn.astype(cdt).reshape(it * tm, h), segT_c,
+                             preferred_element_type=f32, precision=_PREC).reshape(it, tm, d).astype(cdt)
+                ca_lanes.append(jnp.sum(ce * mem_vc, axis=1, dtype=f32)[:, None, :])  # (It, 1, D)
+            ca = ca_lanes[0] if k == 1 else jnp.concatenate(ca_lanes, axis=1)
+            ca = ca.reshape(bt, d)
+        else:
+            # streaming: mem K/V live in HBM; (It, tc, D) chunks flow through
+            # double-buffered DMA while an online softmax (flash-decoding
+            # style) carries per-lane per-head (m, l) and merged-head o.
+            i0 = pl.program_id(0) * it
+            n_chunks = tm // tc
+
+            def load(buf, sem, hbm_ref, slot, c):
+                return pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(i0, it), pl.ds(c * tc, tc), :],
+                    buf.at[slot], sem.at[slot])
+
+            load(kbuf, ksem, mem_k_ref, 0, 0).start()
+            load(vbuf, vsem, mem_v_ref, 0, 0).start()
+            m_p = [jnp.full((it, h), NEG_INF, f32) for _ in range(k)]
+            l_p = [jnp.zeros((it, h), f32) for _ in range(k)]
+            o_p = [jnp.zeros((it, d), f32) for _ in range(k)]
+            for c in range(n_chunks):
+                slot = c % 2
+                if c + 1 < n_chunks:
+                    load(kbuf, ksem, mem_k_ref, (c + 1) % 2, c + 1).start()
+                    load(vbuf, vsem, mem_v_ref, (c + 1) % 2, c + 1).start()
+                load(kbuf, ksem, mem_k_ref, slot, c).wait()
+                load(vbuf, vsem, mem_v_ref, slot, c).wait()
+                k_c = kbuf[slot]  # (It, tc, D) cdt
+                v_c = vbuf[slot]
+                ok_c = mvf[:, c * tc:(c + 1) * tc][:, :, None] > 0  # (It, tc, 1)
+                for p in range(k):
+                    cprod = k_c * qc3[:, p][:, None, :]
+                    cl = jnp.dot(cprod.reshape(it * tc, d), seg_c,
+                                 preferred_element_type=f32, precision=_PREC).reshape(it, tc, h)
+                    cl = jnp.where(ok_c, cl * inv_sqrt_hd, NEG_INF)
+                    m_new = jnp.maximum(m_p[p], jnp.max(cl, axis=1))  # (It, H)
+                    corr = jnp.exp(m_p[p] - m_new)
+                    e = jnp.where(ok_c, jnp.exp(cl - m_new[:, None, :]), 0.0)
+                    l_p[p] = l_p[p] * corr + jnp.sum(e, axis=1)
+                    ce = jnp.dot(e.astype(cdt).reshape(it * tc, h), segT_c,
+                                 preferred_element_type=f32, precision=_PREC)
+                    ce = ce.reshape(it, tc, d).astype(cdt)
+                    contrib = jnp.sum(ce * v_c, axis=1, dtype=f32)  # (It, D)
+                    corr_d = jnp.dot(corr, seg_hd, preferred_element_type=f32,
+                                     precision=_PREC)  # (It, D)
+                    o_p[p] = o_p[p] * corr_d + contrib
+                    m_p[p] = m_new
+            ca_lanes = []
+            for p in range(k):
+                l_d = jnp.dot(l_p[p], seg_hd, preferred_element_type=f32, precision=_PREC)
+                ca_lanes.append((o_p[p] / l_d)[:, None, :])
+            ca = ca_lanes[0] if k == 1 else jnp.concatenate(ca_lanes, axis=1)
+            ca = ca.reshape(bt, d)
         ca = jnp.dot(ca.astype(cdt), co_w[...], preferred_element_type=f32, precision=_PREC) + co_b[...].astype(f32)
         x = ln(x + ca, ln2_s, ln2_b)
 
@@ -337,13 +418,24 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
 
     cdt = x.dtype
     grid = (nt,)
+    tc = _cross_chunk(tm) if tm > 128 else None  # streaming cross beyond the resident envelope
 
+    if tc is None:
+        mem_specs = [
+            pl.BlockSpec((it, tm, d), lambda i, sp: (i, 0, 0)),
+            pl.BlockSpec((it, tm, d), lambda i, sp: (i, 0, 0)),
+        ]
+    else:
+        # streaming: K/V stay in HBM; the kernel DMAs (It, tc, D) chunks
+        mem_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
     in_specs = [
         pl.BlockSpec((bt, d), lambda i, sp: (i, 0)),
         pl.BlockSpec((bt, w, d), lambda i, sp: (i, 0, 0)),
         pl.BlockSpec((bt, w, d), lambda i, sp: (i, 0, 0)),
-        pl.BlockSpec((it, tm, d), lambda i, sp: (i, 0, 0)),
-        pl.BlockSpec((it, tm, d), lambda i, sp: (i, 0, 0)),
+        *mem_specs,
         pl.BlockSpec((it, tm), lambda i, sp: (i, 0)),
     ]
     operands = [x, self_k, self_v, mem_k, mem_v, mem_valid_f]
@@ -367,13 +459,22 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
         jax.ShapeDtypeStruct(self_v.shape, self_v.dtype),
     ]
 
+    scratch_shapes = []
+    if tc is not None:
+        scratch_shapes = [
+            pltpu.VMEM((2, it, tc, d), cdt),
+            pltpu.VMEM((2, it, tc, d), cdt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
-    kernel = _kernel_factory(it, k, w, tm, d, num_heads, f, has_lineage, cdt)
+    kernel = _kernel_factory(it, k, w, tm, d, num_heads, f, has_lineage, cdt, tc=tc)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     x_out, new_k, new_v = pl.pallas_call(
         kernel,

@@ -66,6 +66,41 @@ def test_layer_step_parity(lanes, pos):
     np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_ref))
 
 
+@pytest.mark.parametrize("lanes", [1, 3])
+def test_streaming_cross_parity(lanes):
+    """Tm > 128 engages the streaming (online-softmax) cross-attention path;
+    outputs match the resident XLA layer step to fp tolerance."""
+    b_img, w, tm, cache_len, pos = 2, 16, 256, 32, 9
+    lp = pack_step_params(decoder_layer_init(jax.random.PRNGKey(2), D, F))
+    ctx = Ctx(num_heads=H, dropout=0.0, deterministic=True)
+    r = np.random.RandomState(7)
+    b = b_img * lanes
+    x = jnp.asarray(r.randn(b, D).astype(np.float32) * 0.3)
+    self_k = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3)
+    self_v = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3)
+    mem_k = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3)
+    mem_v = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3)
+    valid = jnp.asarray(r.rand(b_img, tm) > 0.3).at[:, 0].set(True)
+    if lanes > 1:
+        lin_local = jnp.asarray(r.randint(0, lanes, size=(b, w)).astype(np.int32))
+        lin_abs = lin_local + lanes * (jnp.arange(b, dtype=jnp.int32)[:, None] // lanes)
+        own = jnp.arange(b, dtype=jnp.int32)[:, None]
+        idx = jnp.where(jnp.arange(w)[None, :] == pos, own, lin_abs)
+    else:
+        lin_local = idx = None
+    x_ref, k_ref, v_ref = decoder_layer_step(
+        lp, ctx, x, pos, self_k, self_v, mem_k, mem_v, valid, window=w, lineage_idx=idx
+    )
+    x_f, k_f, v_f = fused_decoder_layer_step(
+        layer_weights(lp), x, pos, self_k, self_v, mem_k, mem_v,
+        valid.astype(jnp.float32), lin_local,
+        num_heads=H, window=w, lanes=lanes, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), atol=5e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(k_f), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_ref))
+
+
 TINY = ModelConfig(vocab_size=40, emb_dim=D, num_heads=H, enc_layers=1, dec_layers=2,
                    enc_ffn_dim=128, max_global_len=256, decode_max_len=80, backbone="vgg",
                    use_bilstm=False)
