@@ -17,6 +17,9 @@ Tm=256 1155 -> 625 us/step (streaming cross-attention).
 import os
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root (run from anywhere)
 
 import numpy as np
 import jax

@@ -97,7 +97,7 @@ def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, itemsize: i
         mem_bytes = 2 * 2 * it * tc * d * itemsize  # not pipeline-doubled
         tm_live = tc
     else:
-        mem_bytes = 2 * 2 * 2 * it * tm * d * itemsize  # blocked, double-buffered
+        mem_bytes = 2 * 2 * it * tm * d * itemsize  # k+v blocked, double-buffered
         tm_live = tm
     blocks = mem_bytes + 2 * (  # double-buffered in/out blocks
         bt * d * itemsize  # x
