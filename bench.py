@@ -108,6 +108,64 @@ def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 
     return n_images / dt
 
 
+def bench_train(cfg, batch_size: int = 32, n_chunks: int = 4, label_len: int = 48):
+    """Training throughput: reference-recipe step (Adam, masked CE, teacher
+    forcing, batch 32, CNN-Transformer.ipynb [cell 17]) repeated inside one
+    jitted fori_loop (the carried TrainState makes iterations truly
+    sequential, so the slope between two repeat counts is pure device time)."""
+    import jax
+    import jax.numpy as jnp
+
+    from khmer_ocr_tpu.train.step import init_train_state, make_optimizer, make_train_step
+
+    opt = make_optimizer()
+    state = init_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, opt, precision="default", donate=False)
+    rng = np.random.RandomState(0)
+    batch = {
+        "chunks": jnp.asarray(rng.uniform(-1, 1, (batch_size, n_chunks, 48, 100)).astype(np.float32)),
+        "chunk_counts": jnp.full((batch_size,), n_chunks, jnp.int32),
+        "labels": jnp.asarray(
+            np.concatenate(
+                [
+                    np.full((batch_size, 1), 2, np.int64),  # <sos>
+                    rng.randint(4, cfg.vocab_size, (batch_size, label_len - 2)),
+                    np.full((batch_size, 1), 3, np.int64),  # <eos>
+                ],
+                axis=1,
+            ).astype(np.int32)
+        ),
+    }
+    key = jax.random.PRNGKey(1)
+
+    def make(rep):
+        def fn(st):
+            def body(i, s):
+                s2, _ = step(s, batch, jax.random.fold_in(key, i), jnp.float32(1e-4))
+                return s2
+
+            out = jax.lax.fori_loop(0, rep, body, st)
+            # consume a PARAMETER so the whole grad/update chain stays live
+            # (returning only .step lets XLA prune the training compute)
+            return jax.tree.leaves(out.params)[0].ravel()[0]
+
+        return jax.jit(fn)
+
+    times = {}
+    for rep in (2, 8):
+        fn = make(rep)
+        np.asarray(fn(state))  # compile
+        times[rep] = min(_walltime(fn, state) for _ in range(3))
+    per_step = (times[8] - times[2]) / 6
+    return batch_size / per_step
+
+
+def _walltime(fn, *args):
+    t0 = time.perf_counter()
+    np.asarray(fn(*args))
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--trace", default=None, help="Capture a jax.profiler trace of the beam-3 run")
@@ -134,6 +192,7 @@ def main() -> None:
     with profile_trace(args.trace, enabled=args.trace is not None):
         beam3 = bench_device(params, stats, cfg, dtype, beam_width=3, batches=mixed)
     e2e = bench_end_to_end(params, stats, cfg)
+    train = bench_train(cfg)
 
     vs_baseline = beam3 / (PER_CHIP_TARGET * n_dev)
     print(json.dumps({
@@ -143,6 +202,7 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 4),
         "greedy_lines_per_sec": round(greedy, 2),
         "e2e_beam3_lines_per_sec": round(e2e, 2),
+        "train_lines_per_sec": round(train, 2),
         "n_devices": n_dev,
     }))
     sys.stdout.flush()

