@@ -88,6 +88,15 @@ class DecodeConfig:
     sos_idx: int = 2
     eos_idx: int = 3
     pad_idx: int = 0
+    # Fused Pallas decode-step policy ("0" off / "1" force / None auto).
+    # DecodeConfig is a static jit argument, so carrying the flag HERE makes it
+    # part of the jit cache key: the Predictor snapshots KHMER_OCR_FUSED_DECODE
+    # per call (infer/predictor.py::_dec_cfg), so toggling the env var between
+    # calls recompiles instead of being silently ignored by a warm cache.
+    # None falls back to reading the env var at TRACE time (direct
+    # greedy_decode/beam_decode callers): a toggle after a shape has compiled
+    # is then invisible to that shape until a fresh jit wrapper is traced.
+    fused_mode: str | None = None
 
 
 @dataclass(frozen=True)
@@ -108,16 +117,30 @@ class RuntimeConfig:
     mesh_data_axis: str = "data"
     mesh_model_axis: str = "model"
     # Host input pipeline: threads for PIL decode/resize/chunk (overlapping the
-    # device), and the cap on device batches in flight before draining results
-    # (bounds device-queue memory on large jobs).
+    # device), and the dispatch-group size. Bucket batches are dispatched in
+    # groups of ``max_inflight_batches`` through one compiled program each, and
+    # at most TWO groups are in flight before results drain — so device-queue
+    # memory is bounded at 2 * max_inflight_batches batches.
     host_workers: int = 8
     max_inflight_batches: int = 4
+    # Cap on DISTINCT multi-batch shape combinations compiled by grouped
+    # dispatch (each combination is one XLA program; beam compiles take tens of
+    # seconds). Groups are canonicalized by sorting members on shape, and once
+    # the cap is reached an unseen combination falls back to per-batch
+    # dispatch — whose compile count is bounded by the bucket grid.
+    max_group_combos: int = 8
     # Ship inference batches to the device as uint8 and normalize on-device:
     # 4x less host->device traffic (the axon-tunneled transfer dominates
     # end-to-end serving otherwise). Bit-identical to host normalization —
     # every preprocessed pixel sits on the uint8/255 grid (PIL L-mode resize
     # and the native loader both emit uint8-derived values).
     transfer_uint8: bool = True
+    # Ship whole uint8 LINES (B, H, Wb) and extract the 100-px windows ON
+    # DEVICE with a static strided gather instead of pre-chunking on the host:
+    # removes the host chunk copies AND the 16-px overlap duplication from the
+    # tunnel transfer (~1.19x). Requires transfer_uint8. Bit-identical to the
+    # host chunker (tests/test_foundations.py::test_device_chunking_parity).
+    transfer_lines: bool = True
 
 
 @dataclass(frozen=True)

@@ -77,7 +77,7 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     _stage_fused = {
         w: should_use_fused(b * k, k, w, memory.shape[1], memory.shape[2],
                             model_cfg.dec_ffn_dim, model_cfg.num_heads,
-                            memory.dtype.itemsize)
+                            memory.dtype.itemsize, mode=dec_cfg.fused_mode)
         for w in windows
     }
     params = pack_decode_params(params, fused=any(f for f, _ in _stage_fused.values()))

@@ -32,9 +32,20 @@ from ..tokenizer import Tokenizer
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnames=("model_cfg", "dec_cfg", "use_beam", "precision"))
+def _device_chunk(lines, chunk_geom: tuple[int, int]):
+    """(B, H, Wb) lines -> (B, N, H, CW) windows on device: a static strided
+    gather (N static slices XLA fuses into one cheap copy). Bit-identical to
+    the host chunker ``chunk_line`` — the host pads lines to the bucket width
+    with white, so every window is fully in-bounds."""
+    cw, stride = chunk_geom
+    wb = lines.shape[2]
+    n = (wb - cw) // stride + 1
+    return jnp.stack([lines[:, :, i * stride : i * stride + cw] for i in range(n)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "dec_cfg", "use_beam", "precision", "chunk_geom"))
 def _infer_jit(params, batch_stats, chunks, counts, model_cfg: ModelConfig, dec_cfg: DecodeConfig,
-               use_beam: bool, precision: str):
+               use_beam: bool, precision: str, chunk_geom: tuple[int, int] | None = None):
     with jax.default_matmul_precision(precision):
         ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
         # compute dtype follows the params (bf16 params -> bf16 activations/caches)
@@ -43,6 +54,9 @@ def _infer_jit(params, batch_stats, chunks, counts, model_cfg: ModelConfig, dec_
             # uint8 transfer path: normalize on-device in f32 — bit-identical
             # to the host normalize(chunk_line(...)) float path
             chunks = (chunks.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        if chunks.ndim == 3:
+            # uint8 LINES payload (runtime.transfer_lines): chunk on device
+            chunks = _device_chunk(chunks, chunk_geom)
         chunks = chunks.astype(compute_dtype)
         memory, pad_mask, _ = encode(params, batch_stats, chunks, counts, model_cfg, ctx, train=False)
         if use_beam:
@@ -50,16 +64,17 @@ def _infer_jit(params, batch_stats, chunks, counts, model_cfg: ModelConfig, dec_
         return greedy_decode(params, memory, pad_mask, model_cfg, dec_cfg)
 
 
-@partial(jax.jit, static_argnames=("model_cfg", "dec_cfg", "use_beam", "precision"))
+@partial(jax.jit, static_argnames=("model_cfg", "dec_cfg", "use_beam", "precision", "chunk_geom"))
 def _infer_multi_jit(params, batch_stats, batches, model_cfg: ModelConfig, dec_cfg: DecodeConfig,
-                     use_beam: bool, precision: str):
+                     use_beam: bool, precision: str, chunk_geom: tuple[int, int] | None = None):
     """Decode SEVERAL bucket batches in one compiled program — one host
     dispatch for a whole mixed-bucket sweep. On the axon-tunneled runtime a
     program call costs ~25-30 ms of host latency, so dispatch count — not
     device time — can dominate mixed-bucket workloads; fusing the sweep
     amortizes it. ``batches``: tuple of (chunks, counts) pairs."""
     return tuple(
-        _infer_jit(params, batch_stats, chunks, counts, model_cfg, dec_cfg, use_beam, precision)
+        _infer_jit(params, batch_stats, chunks, counts, model_cfg, dec_cfg, use_beam, precision,
+                   chunk_geom)
         for chunks, counts in batches
     )
 
@@ -90,10 +105,15 @@ class Predictor:
         else:
             raise ValueError("Provide either model_path or (params, batch_stats)")
         self.preprocessor = Preprocessor(self.config.preprocess, self.config.runtime)
+        pre = self.config.preprocess
+        self._chunk_geom = (pre.chunk_width, pre.chunk_stride)
         dtype = jnp.bfloat16 if self.config.runtime.compute_dtype == "bfloat16" else jnp.float32
         if dtype != jnp.float32:
             self.params = jax.tree.map(lambda x: x.astype(dtype), self.params)
         self.mesh = mesh
+        # shape combinations already compiled by grouped dispatch (see
+        # _dispatch_group): canonical keys of sorted member shapes
+        self._group_combos: set = set()
         if mesh is not None:
             from ..parallel.mesh import replicate
 
@@ -122,12 +142,17 @@ class Predictor:
     # -- decoding ----------------------------------------------------------
 
     def _dec_cfg(self, beam_width: int, max_len: int | None) -> DecodeConfig:
+        import os
+
         return DecodeConfig(
             beam_width=max(beam_width, 1),
             max_len=min(max_len or self.model_cfg.decode_max_len, self.model_cfg.decode_max_len),
             sos_idx=self.tokenizer.sos_idx,
             eos_idx=self.tokenizer.eos_idx,
             pad_idx=self.tokenizer.pad_idx,
+            # snapshot per call: DecodeConfig is a static jit arg, so the
+            # fused-policy env var participates in the jit cache key
+            fused_mode=os.environ.get("KHMER_OCR_FUSED_DECODE"),
         )
 
     def _device_inputs(self, batch: PreparedBatch):
@@ -146,7 +171,7 @@ class Predictor:
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding
 
-            chunks_d = jax.device_put(chunks_d, batch_sharding(self.mesh, 4))
+            chunks_d = jax.device_put(chunks_d, batch_sharding(self.mesh, chunks_d.ndim))
             counts_d = jax.device_put(counts_d, batch_sharding(self.mesh, 1))
         return chunks_d, counts_d, b
 
@@ -163,8 +188,17 @@ class Predictor:
             dec_cfg,
             beam_width > 1,
             self.config.runtime.matmul_precision,
+            self._chunk_geom,
         )
         return tokens, b
+
+    def _padded_shape(self, batch: PreparedBatch) -> tuple[int, int, int]:
+        """(padded batch, chunk bucket, payload ndim) — the device shape this
+        batch will take (ndim distinguishes the lines vs pre-chunked layouts)."""
+        b = batch.chunks.shape[0]
+        padded_b = _round_up(b, self.config.runtime.batch_buckets)
+        padded_b = ((padded_b + self._n_data - 1) // self._n_data) * self._n_data
+        return padded_b, batch.bucket_n, batch.chunks.ndim
 
     def _dispatch_group(self, batches: list[PreparedBatch], beam_width: int, max_len: int | None):
         """Decode several bucket batches in ONE compiled program — one host
@@ -180,7 +214,7 @@ class Predictor:
             bs.append(b)
         tokens = _infer_multi_jit(
             self.params, self.batch_stats, tuple(inputs), self.model_cfg, dec_cfg,
-            beam_width > 1, self.config.runtime.matmul_precision,
+            beam_width > 1, self.config.runtime.matmul_precision, self._chunk_geom,
         )
         return list(zip(tokens, bs))
 
@@ -207,24 +241,34 @@ class Predictor:
         # pipelined: host prep streams batches (thread pool) while the device
         # runs earlier ones; bucket batches are dispatched in GROUPS through
         # one compiled program each (host dispatch ~25-30 ms/call would
-        # otherwise dominate mixed-bucket jobs), and in-flight groups are
-        # bounded so large jobs don't build an unbounded device queue
-        # (round-1 VERDICT weak #5)
+        # otherwise dominate mixed-bucket jobs). In-flight device work is
+        # bounded at 2 groups x group_size = 2 * max_inflight_batches batches
+        # before results drain (config.RuntimeConfig docstring).
         from collections import deque
 
-        group_size = max(1, self.config.runtime.max_inflight_batches)
+        rt = self.config.runtime
+        group_size = max(1, rt.max_inflight_batches)
         inflight: deque = deque()
         pending: list[PreparedBatch] = []
 
         def flush_pending():
             if not pending:
                 return
-            group = pending[:]
+            # canonicalize: sort members by device shape so a group's compiled
+            # program depends on its shape MULTISET, not bucket arrival order
+            group = sorted(pending, key=self._padded_shape, reverse=True)
             pending.clear()
             if len(group) == 1:
                 outs = [self._dispatch_prepared(group[0], beam_width, max_len)]
             else:
-                outs = self._dispatch_group(group, beam_width, max_len)
+                key = (tuple(self._padded_shape(b) for b in group), beam_width, max_len)
+                if key in self._group_combos or len(self._group_combos) < rt.max_group_combos:
+                    self._group_combos.add(key)
+                    outs = self._dispatch_group(group, beam_width, max_len)
+                else:
+                    # combo budget exhausted: per-batch dispatch (compile count
+                    # bounded by the bucket grid, all shapes reusable)
+                    outs = [self._dispatch_prepared(b, beam_width, max_len) for b in group]
             inflight.append((group, outs))
 
         def drain_one():

@@ -65,8 +65,13 @@ def load_imageio_library() -> ctypes.CDLL | None:
         return _LIB
 
 
-def load_resize_gray(path, out_h: int = 48, min_w: int = 50, cap_w: int = 10768) -> np.ndarray | None:
-    """Decode+resize one image -> float32 (out_h, W) in [0, 1]; None on failure."""
+def load_resize_gray(path, out_h: int = 48, min_w: int = 50, cap_w: int = 10768,
+                     as_uint8: bool = False) -> np.ndarray | None:
+    """Decode+resize one image -> (out_h, W); None on failure.
+
+    float32 in [0, 1] by default; ``as_uint8`` returns the raw uint8 pixels
+    (the /255 float view is exactly uint8/255, so the uint8 form is the
+    lossless transfer payload — preprocess.Preprocessor's lines path)."""
     lib = load_imageio_library()
     if lib is None:
         return None
@@ -79,6 +84,8 @@ def load_resize_gray(path, out_h: int = 48, min_w: int = 50, cap_w: int = 10768)
     if rc != 0:
         return None
     keep = min(w.value, cap_w)
+    if as_uint8:
+        return np.ascontiguousarray(out[:, :keep])
     return out[:, :keep].astype(np.float32) / 255.0
 
 

@@ -90,7 +90,7 @@ def _cross_chunk(tm: int) -> int | None:
     return None
 
 
-def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, itemsize: int) -> int:
+def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, h: int, itemsize: int) -> int:
     bt = it * k
     if tm > 128:  # streaming cross: manual double-buffered (It, tc, D) scratch
         tc = _cross_chunk(tm) or tm
@@ -109,15 +109,15 @@ def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, itemsize: i
     interm = (
         2 * bt * w * d * itemsize * (1 if k > 1 else 0)  # lineage-selected k/v copies
         + bt * 3 * d * 4  # qkv f32
-        + 3 * bt * w * max(8, d // max(1, d)) * 4  # self logits/softmax (approx)
-        + 3 * it * tm_live * 8 * k * 4  # cross logits/softmax (approx, H<=8 lanes*K)
+        + 3 * bt * w * h * 4  # self logits/softmax (approx)
+        + 3 * it * tm_live * h * k * 4  # cross logits/softmax (approx, per-lane)
         + 2 * bt * f * 4  # ffn hidden
         + 2 * bt * d * 4  # residual stream
     )
     return _weight_bytes(d, f, itemsize) + blocks + interm
 
 
-def choose_tile(n_images: int, k: int, w: int, tm: int, d: int, f: int, itemsize: int,
+def choose_tile(n_images: int, k: int, w: int, tm: int, d: int, f: int, h: int, itemsize: int,
                 strict_tiling: bool = True):
     """Largest image-tile It dividing n_images whose VMEM footprint fits.
 
@@ -136,7 +136,7 @@ def choose_tile(n_images: int, k: int, w: int, tm: int, d: int, f: int, itemsize
             continue
         if strict_tiling and (it * k) % 8:
             continue
-        if _vmem_estimate(it, k, w, tm, d, f, itemsize) <= VMEM_BUDGET:
+        if _vmem_estimate(it, k, w, tm, d, f, h, itemsize) <= VMEM_BUDGET:
             return it
     return None
 
@@ -158,7 +158,7 @@ def fused_step_available(b_rows: int, k: int, w: int, tm: int, d: int, f: int,
         # (w=32, Tm=256) tile OOMed scoped VMEM at 18.2 MB). Wider windows /
         # longer memories take the XLA step for that stage/bucket.
         return False
-    return choose_tile(b_rows // k, k, w, tm, d, f, itemsize, strict_tiling) is not None
+    return choose_tile(b_rows // k, k, w, tm, d, f, num_heads, itemsize, strict_tiling) is not None
 
 
 def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
@@ -361,15 +361,18 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
 
 
 def should_use_fused(b_rows: int, lanes: int, max_window: int, tm: int, d: int, f: int,
-                     num_heads: int, itemsize: int) -> tuple[bool, bool]:
+                     num_heads: int, itemsize: int, mode: str | None = None) -> tuple[bool, bool]:
     """Trace-time policy: (use_fused, interpret).
 
     Fused decode is on by default on TPU when the shapes fit the VMEM tiling;
-    ``KHMER_OCR_FUSED_DECODE=0`` disables it, ``=1`` forces it on other
-    backends through the Pallas interpreter (tests)."""
+    ``mode`` "0" disables it, "1" forces it on other backends through the
+    Pallas interpreter (tests). ``mode=None`` reads KHMER_OCR_FUSED_DECODE at
+    TRACE time — jit callers should instead snapshot the env var into
+    ``DecodeConfig.fused_mode`` (a static jit arg) so toggling it between
+    calls is not silently ignored by a warm jit cache (the Predictor does)."""
     import os
 
-    env = os.environ.get("KHMER_OCR_FUSED_DECODE")
+    env = os.environ.get("KHMER_OCR_FUSED_DECODE") if mode is None else mode
     if env == "0":
         return False, False
     backend = jax.default_backend()
@@ -410,7 +413,7 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
     w = min(window, self_k.shape[1])
     assert w % 8 == 0, w
     f = weights["l1_w"].shape[1]
-    it = choose_tile(bi, k, w, tm, d, f, x.dtype.itemsize, strict_tiling=not interpret)
+    it = choose_tile(bi, k, w, tm, d, f, num_heads, x.dtype.itemsize, strict_tiling=not interpret)
     assert it is not None, "caller must gate on fused_step_available"
     bt = it * k
     nt = bi // it

@@ -104,19 +104,32 @@ def normalize(x: np.ndarray) -> np.ndarray:
 class PreparedBatch:
     """A statically shaped recognition batch.
 
-    chunks:       (B, N, H, CW) float32, normalized to [-1, 1]
-    chunk_counts: (B,) int32 — true chunks per line (<= N)
+    chunks: one of two device payload layouts —
+      * (B, N, H, CW) pre-chunked windows (float32 normalized, or uint8 with
+        ``runtime.transfer_uint8``), or
+      * (B, H, Wb) uint8 LINES with ``runtime.transfer_lines``: the bucket's
+        full padded width, chunked ON DEVICE by a static strided gather
+        (infer/predictor.py::_infer_jit) — less host work, less tunnel
+        transfer (no 16-px overlap duplication), bit-identical results.
+    chunk_counts: (B,) int32 — true chunks per line (<= bucket_n)
     indices:      original positions of these lines in the caller's list
+    bucket_n:     the chunk bucket N (derived from the 4D layout when omitted)
     """
 
     chunks: np.ndarray
     chunk_counts: np.ndarray
     indices: list[int]
+    bucket_n: int = 0
+
+    def __post_init__(self):
+        if not self.bucket_n:
+            if self.chunks.ndim != 4:
+                raise ValueError("bucket_n is required for the (B, H, Wb) lines layout")
+            self.bucket_n = self.chunks.shape[1]
 
     @property
     def chunk_mask(self) -> np.ndarray:
-        n = self.chunks.shape[1]
-        return np.arange(n)[None, :] < self.chunk_counts[:, None]
+        return np.arange(self.bucket_n)[None, :] < self.chunk_counts[:, None]
 
 
 def bucket_for(n_chunks: int, buckets: tuple[int, ...]) -> int:
@@ -158,13 +171,50 @@ class Preprocessor:
                 raise FileNotFoundError(f"Image not found: {src}")
         return resize_line(load_grayscale(src), cfg)
 
-    def _prepare_one(self, src):
-        """Worker: full host prep for one line -> (bucket, count, chunks).
+    def _load_line_u8(self, src) -> np.ndarray:
+        """Decode+grayscale+resize one source -> uint8 (H, W) — no float pass.
 
-        With ``runtime.transfer_uint8`` the chunk payload stays uint8 (0..255,
-        pre-normalization); the device normalizes (infer/predictor.py) —
-        exactly equivalent, 4x less host->device transfer."""
+        PIL L-mode pixels ARE the uint8 grid the float path divides by 255, so
+        this is the lossless form of ``_load_line`` (device normalization
+        reproduces the float values exactly)."""
+        cfg = self.cfg
+        if not cfg.binarize and isinstance(src, (str, Path)):
+            from .native.imageio import load_resize_gray
+
+            cap_w = (self.runtime.chunk_buckets[-1] - 1) * cfg.chunk_stride + cfg.chunk_width
+            line = load_resize_gray(src, out_h=cfg.img_height, min_w=cfg.min_width,
+                                    cap_w=cap_w, as_uint8=True)
+            if line is not None:
+                return line
+            if not Path(src).exists():
+                raise FileNotFoundError(f"Image not found: {src}")
+        image = load_grayscale(src)
+        if cfg.binarize:
+            image = binarize_image(image)
+        aspect_ratio = image.width / image.height
+        new_width = max(cfg.min_width, int(cfg.img_height * aspect_ratio))
+        image = image.resize((new_width, cfg.img_height), Image.Resampling.BILINEAR)
+        return np.asarray(image, dtype=np.uint8)
+
+    def _prepare_one(self, src):
+        """Worker: full host prep for one line -> (bucket, count, payload).
+
+        Payload layouts (PreparedBatch docstring): with ``transfer_lines`` the
+        payload is the uint8 line white-padded (255) to the bucket width — the
+        device chunks it; otherwise pre-chunked windows, uint8 (0..255,
+        pre-normalization, 4x less transfer than float — the device
+        normalizes) or host-normalized float32."""
         cfg, buckets = self.cfg, self.runtime.chunk_buckets
+        if self.runtime.transfer_lines and self.runtime.transfer_uint8:
+            line = self._load_line_u8(src)
+            w = line.shape[1]
+            n = min(cfg.num_chunks(w), buckets[-1])
+            bucket_n = bucket_for(n, buckets)
+            padded_w = (bucket_n - 1) * cfg.chunk_stride + cfg.chunk_width
+            padded = np.full((line.shape[0], padded_w), 255, np.uint8)
+            keep = min(w, padded_w)
+            padded[:, :keep] = line[:, :keep]
+            return bucket_n, n, padded
         line = self._load_line(src)
         n = min(cfg.num_chunks(line.shape[1]), buckets[-1])
         bucket_n = bucket_for(n, buckets)
@@ -189,23 +239,24 @@ class Preprocessor:
 
         grouped: dict[int, list[tuple[int, int, np.ndarray]]] = {}
 
-        def assemble(part) -> PreparedBatch:
+        def assemble(bucket_n, part) -> PreparedBatch:
             return PreparedBatch(
                 chunks=np.stack([c for _, _, c in part]),
                 chunk_counts=np.array([n for _, n, _ in part], np.int32),
                 indices=[i for i, _, _ in part],
+                bucket_n=bucket_n,
             )
 
         with ThreadPoolExecutor(max_workers=self.runtime.host_workers) as pool:
             for i, (bucket_n, n, chunks) in enumerate(pool.map(self._prepare_one, image_sources)):
                 grouped.setdefault(bucket_n, []).append((i, n, chunks))
                 if max_batch and len(grouped[bucket_n]) == max_batch:
-                    yield assemble(grouped.pop(bucket_n))
+                    yield assemble(bucket_n, grouped.pop(bucket_n))
         for bucket_n in sorted(grouped):  # partial tails
             items = grouped[bucket_n]
             step = max_batch or len(items)
             for j in range(0, len(items), step):
-                yield assemble(items[j : j + step])
+                yield assemble(bucket_n, items[j : j + step])
 
     def prepare_batches(
         self, image_sources: list, max_batch: int | None = None

@@ -165,23 +165,27 @@ def test_bucketing():
     batches = pre.prepare_batches(imgs)
     seen = {}
     for b in batches:
-        assert b.chunks.shape[1] in (1, 2, 4, 8)
-        assert (b.chunk_counts <= b.chunks.shape[1]).all()
+        assert b.bucket_n in (1, 2, 4, 8)
+        assert (b.chunk_counts <= b.bucket_n).all()
+        # default layout: uint8 LINES padded to the bucket width
+        assert b.chunks.ndim == 3 and b.chunks.dtype == np.uint8
+        assert b.chunks.shape[2] == (b.bucket_n - 1) * cfg.chunk_stride + cfg.chunk_width
         for pos, idx in enumerate(b.indices):
-            seen[idx] = (b.chunks.shape[1], int(b.chunk_counts[pos]))
+            seen[idx] = (b.bucket_n, int(b.chunk_counts[pos]))
     # widths 60->1 chunk, 120->2, 300->4, 650->8
     assert seen[0] == (1, 1)
     assert seen[1] == (2, 2)
     assert seen[2] == (4, 4)
     assert seen[3] == (8, 8)
-    # padding chunks are pure white: uint8 255 on the (default) uint8 transfer
+    # padding chunks are pure white: uint8 255 on the uint8 transfer
     # path, 1.0 after normalization on the float path
-    pre2 = Preprocessor(cfg, RuntimeConfig(chunk_buckets=(4,)))
+    pre2 = Preprocessor(cfg, RuntimeConfig(chunk_buckets=(4,), transfer_lines=False))
     [b] = pre2.prepare_batches([imgs[0]])
     assert b.chunk_counts[0] == 1
-    assert b.chunks.dtype == np.uint8
+    assert b.chunks.dtype == np.uint8 and b.chunks.ndim == 4
     np.testing.assert_allclose(b.chunks[0, 1:], 255)
-    pre3 = Preprocessor(cfg, RuntimeConfig(chunk_buckets=(4,), transfer_uint8=False))
+    pre3 = Preprocessor(cfg, RuntimeConfig(chunk_buckets=(4,), transfer_uint8=False,
+                                           transfer_lines=False))
     [bf] = pre3.prepare_batches([imgs[0]])
     np.testing.assert_allclose(bf.chunks[0, 1:], 1.0)
     # the uint8 payload + device-side normalize is bit-identical to the
@@ -189,6 +193,37 @@ def test_bucketing():
     np.testing.assert_array_equal(
         (b.chunks.astype(np.float32) / 255.0 - 0.5) / 0.5, bf.chunks
     )
+    # the LINES payload padding region is white and matches the bucket width
+    pre4 = Preprocessor(cfg, RuntimeConfig(chunk_buckets=(4,)))
+    [bl] = pre4.prepare_batches([imgs[0]])
+    assert bl.chunks.shape == (1, 48, 3 * cfg.chunk_stride + cfg.chunk_width)
+    np.testing.assert_allclose(bl.chunks[0][:, 60:], 255)
+
+
+def test_device_chunking_parity():
+    """The on-device strided chunker over the uint8 lines payload must be
+    bit-identical to the host chunk_line + normalize path, including the
+    white padding and the truncation-at-largest-bucket case."""
+    import jax
+
+    from khmer_ocr_tpu.infer.predictor import _device_chunk
+
+    cfg = PreprocessConfig()
+    rt_lines = RuntimeConfig(chunk_buckets=(1, 2, 4))
+    rt_host = RuntimeConfig(chunk_buckets=(1, 2, 4), transfer_uint8=False, transfer_lines=False)
+    # widths: sub-min, exact chunk, mid-bucket, exact bucket, past the largest
+    # bucket (truncation)
+    imgs = [_rand_pil(w, 37, seed=w) for w in [30, 100, 250, 352, 900]]
+    chunker = jax.jit(_device_chunk, static_argnums=1)
+    for img in imgs:
+        [lines_b] = Preprocessor(cfg, rt_lines).prepare_batches([img])
+        [host_b] = Preprocessor(cfg, rt_host).prepare_batches([img])
+        lines = (lines_b.chunks.astype(np.float32) / 255.0 - 0.5) / 0.5
+        dev = np.asarray(chunker(lines, (cfg.chunk_width, cfg.chunk_stride)))
+        assert dev.shape == host_b.chunks.shape
+        np.testing.assert_array_equal(dev, host_b.chunks)
+        assert lines_b.bucket_n == host_b.bucket_n
+        np.testing.assert_array_equal(lines_b.chunk_counts, host_b.chunk_counts)
 
 
 def test_load_grayscale_variants(tmp_path):

@@ -54,3 +54,33 @@ def test_backbone_for_path():
 
 def test_empty_batch(predictor):
     assert predictor.predict_batch([]) == []
+
+
+def test_grouped_dispatch_canonical_and_bounded():
+    """Grouped dispatch must (a) canonicalize member order so bucket arrival
+    order does not mint new shape combinations, (b) stop compiling new
+    combinations past runtime.max_group_combos and fall back to per-batch
+    dispatch, and (c) stay result-correct throughout (ADVICE r2 medium)."""
+    params, stats = init_model(jax.random.PRNGKey(0), TINY)
+    cfg = OCRConfig().replace(
+        runtime=RuntimeConfig(matmul_precision="default", chunk_buckets=(1, 2, 4),
+                              batch_buckets=(1, 2), max_inflight_batches=2,
+                              max_group_combos=1)
+    )
+    p = Predictor(params=params, batch_stats=stats, model_cfg=TINY, config=cfg)
+
+    # widths hitting buckets 1 / 2 / 4; batch_size=1 so every image is its own
+    # bucket batch and groups form in arrival order
+    w1, w2, w4 = 60, 150, 400
+    a = p.predict_batch([_img(w1, 1), _img(w2, 2)], beam_width=1, batch_size=1)
+    assert len(p._group_combos) == 1
+    only_key = next(iter(p._group_combos))
+    # same shapes, opposite arrival order -> canonical sort maps to the SAME key
+    b = p.predict_batch([_img(w2, 2), _img(w1, 1)], beam_width=1, batch_size=1)
+    assert p._group_combos == {only_key}
+    assert a[0] == b[1] and a[1] == b[0]
+    # a NEW combination with the budget exhausted must not mint a key (falls
+    # back to per-batch dispatch) and must still return correct results
+    c = p.predict_batch([_img(w4, 3), _img(w1, 1)], beam_width=1, batch_size=1)
+    assert p._group_combos == {only_key}
+    assert c[1] == a[0]
