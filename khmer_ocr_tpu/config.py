@@ -97,6 +97,10 @@ class DecodeConfig:
     # greedy_decode/beam_decode callers): a toggle after a shape has compiled
     # is then invisible to that shape until a fresh jit wrapper is traced.
     fused_mode: str | None = None
+    # Whole-decode beam megakernel policy (KHMER_OCR_MEGA_DECODE: "0" off /
+    # "1" force-interpret off-TPU / None auto) — same snapshot semantics as
+    # fused_mode, independent switch (ops/pallas/decode_loop.py).
+    mega_mode: str | None = None
 
 
 @dataclass(frozen=True)

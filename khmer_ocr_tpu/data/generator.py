@@ -45,11 +45,20 @@ def _default_words(rng: np.random.Generator, n: int = 4000) -> list[str]:
 
 
 def load_corpus_words(corpus_path: str | Path | None, rng: np.random.Generator) -> list[str]:
-    if corpus_path and Path(corpus_path).exists():
-        text = Path(corpus_path).read_text(encoding="utf-8")
-        words = [w for w in text.split() if w]
-        if words:
-            return words
+    """Word pool for text generation, in preference order: an explicit corpus
+    file (the reference's texts/khmer_corpus.txt — stripped from this mirror),
+    the packaged ``corpus_seed.txt`` (1.5k REAL Khmer words recovered from the
+    reference notebooks' own printed training samples — genuine orthography and
+    vocabulary), then the synthetic consonant/vowel fallback."""
+    if corpus_path == "none":  # explicit synthetic-words request (bench uses it
+        return _default_words(rng)  # to keep its workload comparable across rounds)
+    candidates = [corpus_path, Path(__file__).parent / "corpus_seed.txt"]
+    for cand in candidates:
+        if cand and Path(cand).exists():
+            text = Path(cand).read_text(encoding="utf-8")
+            words = [w for w in text.split() if w]
+            if words:
+                return words
     return _default_words(rng)
 
 

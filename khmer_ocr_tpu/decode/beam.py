@@ -65,6 +65,22 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     b = memory.shape[0]
     k = dec_cfg.beam_width
     max_len = dec_cfg.max_len
+
+    # whole-decode megakernel: every step in ONE Pallas launch, self-KV caches
+    # VMEM-resident for the entire decode (ops/pallas/decode_loop.py). Token-
+    # exact with the loop below (tests/test_decode_loop.py); gated to its
+    # envelope (Tm<=128, max_len<=64, tile-divisible batch) — else fall through.
+    from ..ops.pallas.decode_loop import fused_beam_decode, should_use_megakernel
+
+    use_mega, mega_interp = should_use_megakernel(
+        b * k, k, max_len, memory.shape[1], memory.shape[2], model_cfg.dec_ffn_dim,
+        model_cfg.num_heads, model_cfg.vocab_size, memory.dtype.itemsize,
+        mode=dec_cfg.mega_mode,
+    )
+    if use_mega:
+        return fused_beam_decode(params, memory, memory_pad_mask, model_cfg, dec_cfg,
+                                 interpret=mega_interp)
+
     ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
 
     # memory K/V stay ONE copy per image — lanes read them through grouped

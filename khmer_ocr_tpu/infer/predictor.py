@@ -79,6 +79,31 @@ def _infer_multi_jit(params, batch_stats, batches, model_cfg: ModelConfig, dec_c
     )
 
 
+@partial(jax.jit,
+         static_argnames=("shapes", "model_cfg", "dec_cfg", "use_beam", "precision", "chunk_geom"))
+def _infer_packed_jit(params, batch_stats, flat_u8, counts_flat, shapes,
+                      model_cfg: ModelConfig, dec_cfg: DecodeConfig,
+                      use_beam: bool, precision: str, chunk_geom: tuple[int, int] | None = None):
+    """Grouped dispatch with PACKED I/O: the whole group rides ONE uint8
+    payload buffer + ONE int32 counts vector in, and returns ONE concatenated
+    uint8 token matrix out. Per-array transfer latency on the axon tunnel is
+    ~10 ms each way — a 4-member group costs 8 device_puts + 4 fetches unpacked
+    but 2 + 1 packed. ``shapes``: static tuple of member payload shapes; member
+    payload segments are static slices of ``flat_u8``. Tokens are returned as
+    uint8 (vocab_size=124 < 256 — lossless) to quarter the fetch bytes."""
+    outs = []
+    off = boff = 0
+    for shape in shapes:
+        n = int(np.prod(shape))
+        chunks = jax.lax.slice(flat_u8, (off,), (off + n,)).reshape(shape)
+        counts = jax.lax.slice(counts_flat, (boff,), (boff + shape[0],))
+        outs.append(_infer_jit(params, batch_stats, chunks, counts, model_cfg, dec_cfg,
+                               use_beam, precision, chunk_geom))
+        off += n
+        boff += shape[0]
+    return jnp.concatenate(outs, axis=0).astype(jnp.uint8)
+
+
 class Predictor:
     """Loads weights once, compiles per-shape inference functions on demand."""
 
@@ -151,12 +176,13 @@ class Predictor:
             eos_idx=self.tokenizer.eos_idx,
             pad_idx=self.tokenizer.pad_idx,
             # snapshot per call: DecodeConfig is a static jit arg, so the
-            # fused-policy env var participates in the jit cache key
+            # fused-policy env vars participate in the jit cache key
             fused_mode=os.environ.get("KHMER_OCR_FUSED_DECODE"),
+            mega_mode=os.environ.get("KHMER_OCR_MEGA_DECODE"),
         )
 
-    def _device_inputs(self, batch: PreparedBatch):
-        """Pad a bucket batch to its batch bucket and move it to device."""
+    def _padded_host(self, batch: PreparedBatch):
+        """Pad a bucket batch to its batch bucket on the host."""
         b = batch.chunks.shape[0]
         padded_b = _round_up(b, self.config.runtime.batch_buckets)
         # batch must divide the data axis when serving on a mesh
@@ -167,6 +193,11 @@ class Predictor:
             reps = padded_b - b
             chunks = np.concatenate([chunks, np.repeat(chunks[-1:], reps, axis=0)])
             counts = np.concatenate([counts, np.repeat(counts[-1:], reps, axis=0)])
+        return chunks, counts, b
+
+    def _device_inputs(self, batch: PreparedBatch):
+        """Pad a bucket batch to its batch bucket and move it to device."""
+        chunks, counts, b = self._padded_host(batch)
         chunks_d, counts_d = jnp.asarray(chunks), jnp.asarray(counts)
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding
@@ -218,6 +249,33 @@ class Predictor:
         )
         return list(zip(tokens, bs))
 
+    def _dispatch_group_packed(self, batches: list[PreparedBatch], beam_width: int,
+                               max_len: int | None):
+        """Grouped dispatch with all-uint8 payloads packed into ONE flat host
+        buffer (one device_put for the group instead of 2 per member) and ONE
+        concatenated token fetch (see _infer_packed_jit). Single-device only —
+        the mesh path keeps per-member sharded transfers."""
+        dec_cfg = self._dec_cfg(beam_width, max_len)
+        padded = [self._padded_host(b) for b in batches]
+        shapes = tuple(c.shape for c, _, _ in padded)
+        flat = np.concatenate([c.reshape(-1) for c, _, _ in padded])
+        counts = np.concatenate([n for _, n, _ in padded]).astype(np.int32)
+        tokens = _infer_packed_jit(
+            self.params, self.batch_stats, jnp.asarray(flat), jnp.asarray(counts), shapes,
+            self.model_cfg, dec_cfg, beam_width > 1,
+            self.config.runtime.matmul_precision, self._chunk_geom,
+        )
+
+        def realize():
+            arr = np.asarray(tokens)  # ONE fetch for the whole group
+            outs, boff = [], 0
+            for (c, _, b) in padded:
+                outs.append((arr[boff : boff + b], b))
+                boff += c.shape[0]
+            return outs
+
+        return realize
+
     def _decode_prepared(self, batch: PreparedBatch, beam_width: int) -> list[str]:
         tokens, b = self._dispatch_prepared(batch, beam_width)
         return self.tokenizer.decode_batch(np.asarray(tokens)[:b])
@@ -251,6 +309,9 @@ class Predictor:
         inflight: deque = deque()
         pending: list[PreparedBatch] = []
 
+        def _realize_members(outs):
+            return lambda: [(np.asarray(tokens)[:b], b) for tokens, b in outs]
+
         def flush_pending():
             if not pending:
                 return
@@ -259,22 +320,43 @@ class Predictor:
             group = sorted(pending, key=self._padded_shape, reverse=True)
             pending.clear()
             if len(group) == 1:
-                outs = [self._dispatch_prepared(group[0], beam_width, max_len)]
+                realize = _realize_members([self._dispatch_prepared(group[0], beam_width, max_len)])
             else:
                 key = (tuple(self._padded_shape(b) for b in group), beam_width, max_len)
                 if key in self._group_combos or len(self._group_combos) < rt.max_group_combos:
                     self._group_combos.add(key)
-                    outs = self._dispatch_group(group, beam_width, max_len)
+                    try:
+                        if self.mesh is None and all(b.chunks.dtype == np.uint8 for b in group):
+                            realize = self._dispatch_group_packed(group, beam_width, max_len)
+                        else:
+                            realize = _realize_members(
+                                self._dispatch_group(group, beam_width, max_len)
+                            )
+                    except jax.errors.JaxRuntimeError:
+                        # a COMBINED program can exceed per-kernel scoped-VMEM /
+                        # HBM limits its members respect individually (layout
+                        # assignment differs in the fused context); per-batch
+                        # programs are the validated envelope — fall back
+                        logger.warning(
+                            "grouped-dispatch compile failed for combo %s; "
+                            "falling back to per-batch dispatch", key, exc_info=True,
+                        )
+                        self._group_combos.discard(key)
+                        realize = _realize_members(
+                            [self._dispatch_prepared(b, beam_width, max_len) for b in group]
+                        )
                 else:
                     # combo budget exhausted: per-batch dispatch (compile count
                     # bounded by the bucket grid, all shapes reusable)
-                    outs = [self._dispatch_prepared(b, beam_width, max_len) for b in group]
-            inflight.append((group, outs))
+                    realize = _realize_members(
+                        [self._dispatch_prepared(b, beam_width, max_len) for b in group]
+                    )
+            inflight.append((group, realize))
 
         def drain_one():
-            group, outs = inflight.popleft()
-            for batch, (tokens, b) in zip(group, outs):
-                texts = self.tokenizer.decode_batch(np.asarray(tokens)[:b])
+            group, realize = inflight.popleft()
+            for batch, (tokens, b) in zip(group, realize()):
+                texts = self.tokenizer.decode_batch(tokens)
                 for idx, text in zip(batch.indices, texts):
                     results[idx] = text
 
@@ -289,11 +371,28 @@ class Predictor:
             drain_one()
         return results  # type: ignore[return-value]
 
-    def warmup(self, beam_widths=(1, 3)) -> None:
-        """Pre-compile the common (bucket, batch) shapes."""
+    def warmup(self, beam_widths=(1, 3), batch_size: int | None = None,
+               chunk_buckets: tuple[int, ...] | None = None) -> None:
+        """Pre-compile the serving shapes AND their canonical group template.
+
+        Feeds ``batch_size`` white lines per chunk bucket through
+        ``predict_batch`` so (a) each (chunk-bucket, batch-bucket) program and
+        (b) the sorted multi-batch combination grouped dispatch will actually
+        form compile once here, against the persistent cache. Beam compiles
+        take tens of seconds per shape — warm the buckets your workload hits
+        (default: the first four, covering lines up to ~8 chunks), not all 14.
+        """
+        rt = self.config.runtime
+        bsz = batch_size or max(rt.batch_buckets)
+        buckets = chunk_buckets or rt.chunk_buckets[:4]
+        cw, stride = self._chunk_geom
+        h = self.config.preprocess.img_height
+        imgs = []
+        for nb in buckets:
+            w = (nb - 1) * stride + cw
+            imgs += [np.full((h, w), 255, np.uint8)] * bsz
         for bw in beam_widths:
-            img = np.full((48, 120), 255, np.uint8)
-            self.predict_batch([img], beam_width=bw)
+            self.predict_batch(imgs, beam_width=bw, batch_size=bsz)
 
 
 def _round_up(n: int, buckets: tuple[int, ...]) -> int:

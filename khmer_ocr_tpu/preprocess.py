@@ -71,6 +71,17 @@ def resize_line(image: Image.Image, cfg: PreprocessConfig) -> np.ndarray:
     return np.asarray(image, dtype=np.float32) / 255.0
 
 
+def resize_line_u8(image: Image.Image, cfg: PreprocessConfig) -> np.ndarray:
+    """``resize_line`` without the float pass: uint8 HxW (the lossless form —
+    u8/255 reproduces the float values exactly; transfer/caching payload)."""
+    if cfg.binarize:
+        image = binarize_image(image)
+    aspect_ratio = image.width / image.height
+    new_width = max(cfg.min_width, int(cfg.img_height * aspect_ratio))
+    image = image.resize((new_width, cfg.img_height), Image.Resampling.BILINEAR)
+    return np.asarray(image, dtype=np.uint8)
+
+
 def chunk_line(line: np.ndarray, cfg: PreprocessConfig, n_chunks: int | None = None) -> np.ndarray:
     """Slice an (H, W) float line into (N, H, chunk_width) windows.
 
@@ -235,8 +246,6 @@ class Preprocessor:
         the reference's global-position truncation at 4096 tokens
         (se_model.py:267-270): 128 chunks * 32 tokens = 4096.
         """
-        from concurrent.futures import ThreadPoolExecutor
-
         grouped: dict[int, list[tuple[int, int, np.ndarray]]] = {}
 
         def assemble(bucket_n, part) -> PreparedBatch:
@@ -247,16 +256,71 @@ class Preprocessor:
                 bucket_n=bucket_n,
             )
 
-        with ThreadPoolExecutor(max_workers=self.runtime.host_workers) as pool:
-            for i, (bucket_n, n, chunks) in enumerate(pool.map(self._prepare_one, image_sources)):
-                grouped.setdefault(bucket_n, []).append((i, n, chunks))
-                if max_batch and len(grouped[bucket_n]) == max_batch:
-                    yield assemble(bucket_n, grouped.pop(bucket_n))
+        yield from self._iter_prepared(image_sources, max_batch, grouped, assemble)
         for bucket_n in sorted(grouped):  # partial tails
             items = grouped[bucket_n]
             step = max_batch or len(items)
             for j in range(0, len(items), step):
                 yield assemble(bucket_n, items[j : j + step])
+
+    def _iter_prepared(self, image_sources, max_batch, grouped, assemble):
+        """Feed per-line (bucket, count, payload) prep results into ``grouped``,
+        yielding full batches as buckets fill. All-file uint8-lines workloads
+        take ONE native C++ batch-decode call per slab (GIL-free thread pool,
+        no per-file Python/ctypes overhead — the serving hot path); everything
+        else streams through a Python thread pool of ``host_workers``."""
+        slab = None
+        if (
+            self.runtime.transfer_lines
+            and self.runtime.transfer_uint8
+            and not self.cfg.binarize
+            and image_sources
+            and all(isinstance(s, (str, Path)) for s in image_sources)
+        ):
+            from .native.imageio import load_imageio_library
+
+            if load_imageio_library() is not None:
+                slab = max(512, max_batch or 0)
+        if slab is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.runtime.host_workers) as pool:
+                for i, out in enumerate(pool.map(self._prepare_one, image_sources)):
+                    yield from self._feed(i, out, grouped, assemble, max_batch)
+            return
+
+        from .native.imageio import load_resize_gray_batch
+
+        cfg = self.cfg
+        cap_w = (self.runtime.chunk_buckets[-1] - 1) * cfg.chunk_stride + cfg.chunk_width
+        for start in range(0, len(image_sources), slab):
+            paths = image_sources[start : start + slab]
+            decoded = load_resize_gray_batch(
+                paths, out_h=cfg.img_height, min_w=cfg.min_width, cap_w=cap_w,
+                n_threads=self.runtime.host_workers,
+            )
+            bufs, widths, errs = decoded
+            for j, path in enumerate(paths):
+                if errs[j] != 0:
+                    if not Path(path).exists():
+                        raise FileNotFoundError(f"Image not found: {path}")
+                    out = self._prepare_one(path)  # PIL fallback (exotic format)
+                else:
+                    keep = min(int(widths[j]), cap_w)
+                    n = min(cfg.num_chunks(keep), self.runtime.chunk_buckets[-1])
+                    bucket_n = bucket_for(n, self.runtime.chunk_buckets)
+                    padded_w = (bucket_n - 1) * cfg.chunk_stride + cfg.chunk_width
+                    padded = np.full((cfg.img_height, padded_w), 255, np.uint8)
+                    padded[:, : min(keep, padded_w)] = bufs[j, :, : min(keep, padded_w)]
+                    out = (bucket_n, n, padded)
+                yield from self._feed(start + j, out, grouped, assemble, max_batch)
+
+    @staticmethod
+    def _feed(i, out, grouped, assemble, max_batch):
+        bucket_n, n, chunks = out
+        grouped.setdefault(bucket_n, []).append((i, n, chunks))
+        if max_batch and len(grouped[bucket_n]) == max_batch:
+            yield assemble(bucket_n, grouped.pop(bucket_n))
 
     def prepare_batches(
         self, image_sources: list, max_batch: int | None = None

@@ -20,6 +20,9 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     p.add_argument("--data-parallel", action="store_true", help="Shard batches over all devices")
     p.add_argument("--resume", type=str, default=None, help="Checkpoint dir to resume from")
+    p.add_argument("--host-augment", action="store_true",
+                   help="Run augmentation on host CPU (cv2) instead of on-device "
+                        "(default: on-device — the host pipeline is ~10x slower per core)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -39,7 +42,8 @@ def main(argv=None) -> int:
 
         gen = DocumentTextGenerator(font_dir=args.font_dir, corpus_path=args.corpus)
         samples = gen.generate(args.synthetic, processes=4)
-        dataset = LineDataset(samples, augment=True, train_cfg=config.train)
+        dataset = LineDataset(samples, augment=True, train_cfg=config.train,
+                              device_augment=not args.host_augment)
     elif args.data:
         dataset = load_folder_dataset(args.data)
         dataset.augmenter = None

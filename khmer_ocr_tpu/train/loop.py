@@ -83,17 +83,20 @@ def train(
         state = TrainState(restored, stats, opt_state, jax.numpy.asarray(step0, jax.numpy.int32))
         start_epoch = step0 // steps_per_epoch + 1
         logger.info("resumed from %s at step %d (epoch %d)", resume_from, step0, start_epoch)
-    train_step = make_train_step(mcfg, optimizer, precision=config.runtime.matmul_precision)
-    eval_logits = make_eval_logits_fn(mcfg, precision=config.runtime.matmul_precision)
+    chunk_geom = (config.preprocess.chunk_width, config.preprocess.chunk_stride)
+    aug_prob = tcfg.augment_prob if getattr(dataset, "device_augment", False) else 0.0
+    train_step = make_train_step(mcfg, optimizer, precision=config.runtime.matmul_precision,
+                                 chunk_geom=chunk_geom, augment_prob=aug_prob)
+    eval_logits = make_eval_logits_fn(mcfg, precision=config.runtime.matmul_precision,
+                                      chunk_geom=chunk_geom)
 
     if mesh is not None:
         from ..parallel.mesh import batch_sharding
 
         def shard_batch(b):
             return {
-                "chunks": jax.device_put(b["chunks"], batch_sharding(mesh, 4)),
-                "chunk_counts": jax.device_put(b["chunk_counts"], batch_sharding(mesh, 1)),
-                "labels": jax.device_put(b["labels"], batch_sharding(mesh, 2)),
+                k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+                for k, v in b.items()
             }
     else:
         shard_batch = lambda b: b
@@ -111,7 +114,8 @@ def train(
         logger.info("epoch %d/%d starting (%d samples, batch %d)",
                     epoch, total_epochs, sample_size, tcfg.batch_size)
         epoch_loss, epoch_batches = 0.0, 0
-        running, t0 = 0.0, time.time()
+        pending_losses: list = []
+        t0 = time.time()
         ep_t0 = t0
         for bidx, batch in enumerate(
             dataset.epoch_batches(
@@ -121,29 +125,37 @@ def train(
                 max_label_len=min(tcfg.max_label_len, mcfg.decode_max_len + 1),
             )
         ):
-            shape_key = (batch.chunks.shape, batch.labels.shape)
+            payload = batch.lines if batch.lines is not None else batch.chunks
+            shape_key = (payload.shape, batch.labels.shape)
             if shape_key not in compiled_shapes:
                 compiled_shapes.add(shape_key)
-                logger.info("compiling train step for chunks=%s labels=%s",
-                            batch.chunks.shape, batch.labels.shape)
+                logger.info("compiling train step for input=%s labels=%s",
+                            payload.shape, batch.labels.shape)
             bd = shard_batch(batch.as_dict())
             state, metrics = train_step(state, bd, jax.random.fold_in(rng, step), schedule(step))
             step += 1
-            loss_val = float(metrics["loss"])
-            running += loss_val
-            epoch_loss += loss_val
+            # metrics stay ON DEVICE per step — a float() here would block the
+            # dispatch pipeline on a ~10 ms host<->device round-trip every step
+            # (round-2: per-step sync halved real training throughput); losses
+            # drain in bulk at log points and epoch end
+            pending_losses.append(metrics["loss"])
             epoch_batches += 1
             if (bidx + 1) % log_every == 0:
+                drained = [float(l) for l in pending_losses]
+                pending_losses.clear()
+                epoch_loss += sum(drained)
                 logger.info(
                     "epoch %d batch %d loss %.4f (%.1f lines/s)",
-                    epoch, bidx + 1, running / log_every,
+                    epoch, bidx + 1, sum(drained[-log_every:]) / log_every,
                     log_every * tcfg.batch_size / (time.time() - t0),
                 )
-                running, t0 = 0.0, time.time()
+                t0 = time.time()
             if (bidx + 1) % eye_test_every == 0:
                 logits = eval_logits(state.params, state.batch_stats, bd)
                 true, pred = _eye_test(tokenizer, logits, bd)
                 logger.info("eye test | TRUE: %s | PRED: %s", true, pred)
+        epoch_loss += sum(float(l) for l in pending_losses)
+        pending_losses.clear()
         logger.info("epoch %d done: mean loss %.4f over %d batches",
                     epoch, epoch_loss / max(epoch_batches, 1), epoch_batches)
         if metrics_path is not None:

@@ -47,18 +47,41 @@ def init_train_state(rng, model_cfg: ModelConfig, optimizer) -> TrainState:
     return TrainState(params, batch_stats, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
-def loss_fn(params, batch_stats, batch, model_cfg: ModelConfig, rng, train: bool = True):
-    """Masked CE over shifted targets. batch: dict(chunks, chunk_counts, labels).
+def _batch_chunks(batch, rng, train: bool, chunk_geom, augment_prob: float):
+    """Materialize the model's (B, N, H, CW) input from either batch layout.
+
+    "chunks": host-preprocessed float32 (legacy / host-augment mode).
+    "lines": raw uint8 (B, H, Wb) + (B,) true widths — normalize, augment
+    (train only), and window-extract ON DEVICE (ops/lines.py,
+    train/device_augment.py): the host pipeline ships bytes, the VPU does the
+    math (fixes the 10x host-bound training input path, round-2 VERDICT #3).
+    """
+    if "lines" not in batch:
+        return batch["chunks"]
+    from ..ops.lines import device_chunk, u8_to_unit, unit_normalize
+    from .device_augment import augment_lines
+
+    unit = u8_to_unit(batch["lines"])
+    if train and augment_prob > 0.0:
+        unit = augment_lines(unit, batch["widths"], rng, augment_prob=augment_prob)
+    return device_chunk(unit_normalize(unit), chunk_geom)
+
+
+def loss_fn(params, batch_stats, batch, model_cfg: ModelConfig, rng, train: bool = True,
+            chunk_geom: tuple[int, int] = (100, 84), augment_prob: float = 0.0):
+    """Masked CE over shifted targets. batch: dict(chunks|lines, chunk_counts, labels).
 
     labels: (B, L) with <sos> ... <eos> <pad>*; input = labels[:, :-1],
     target = labels[:, 1:], pad positions excluded from the mean (torch
     CrossEntropyLoss(ignore_index=pad) semantics).
     """
+    rng_model, rng_aug = jax.random.split(rng)
+    chunks = _batch_chunks(batch, rng_aug, train, chunk_geom, augment_prob)
     ctx = Ctx(num_heads=model_cfg.num_heads, dropout=model_cfg.dropout,
-              deterministic=not train, rng=RngStream(rng) if train else None)
+              deterministic=not train, rng=RngStream(rng_model) if train else None)
     labels = batch["labels"]
     logits, new_stats = forward_train(
-        params, batch_stats, batch["chunks"], batch["chunk_counts"], labels[:, :-1], model_cfg, ctx, train
+        params, batch_stats, chunks, batch["chunk_counts"], labels[:, :-1], model_cfg, ctx, train
     )
     targets = labels[:, 1:]
     mask = (targets != model_cfg.pad_idx).astype(jnp.float32)
@@ -68,14 +91,20 @@ def loss_fn(params, batch_stats, batch, model_cfg: ModelConfig, rng, train: bool
     return loss, new_stats
 
 
-def make_train_step(model_cfg: ModelConfig, optimizer, precision: str = "default", donate: bool = True):
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+def make_train_step(model_cfg: ModelConfig, optimizer, precision: str = "default",
+                    donate: bool = True, chunk_geom: tuple[int, int] = (100, 84),
+                    augment_prob: float = 0.0):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``chunk_geom``/``augment_prob`` apply to "lines"-layout batches (device
+    augmentation mode, train/data.py) and are ignored for "chunks" batches."""
 
     def train_step(state: TrainState, batch, rng, lr):
         with jax.default_matmul_precision(precision):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, new_stats), grads = grad_fn(
-                state.params, state.batch_stats, batch, model_cfg, rng, True
+                state.params, state.batch_stats, batch, model_cfg, rng, True,
+                chunk_geom, augment_prob,
             )
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             # lr is traced: same compiled step for every dataset size / schedule
@@ -88,15 +117,17 @@ def make_train_step(model_cfg: ModelConfig, optimizer, precision: str = "default
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_logits_fn(model_cfg: ModelConfig, precision: str = "default"):
+def make_eval_logits_fn(model_cfg: ModelConfig, precision: str = "default",
+                        chunk_geom: tuple[int, int] = (100, 84)):
     """Teacher-forced logits for the 'eye test' (notebook [cell 17]) and eval loss."""
 
     @partial(jax.jit)
     def eval_logits(params, batch_stats, batch):
         with jax.default_matmul_precision(precision):
+            chunks = _batch_chunks(batch, None, False, chunk_geom, 0.0)
             ctx = Ctx(num_heads=model_cfg.num_heads, dropout=0.0, deterministic=True)
             logits, _ = forward_train(
-                params, batch_stats, batch["chunks"], batch["chunk_counts"],
+                params, batch_stats, chunks, batch["chunk_counts"],
                 batch["labels"][:, :-1], model_cfg, ctx, False,
             )
         return logits

@@ -6,7 +6,12 @@ pytest process then runs only JAX — torch's thread pools and XLA:CPU
 executables deadlock intermittently when mixed in one process (see
 tests/conftest.py).
 
-Usage: python oracle_dump.py <backbone> <out.npz>
+Usage: python oracle_dump.py <backbone> <out.npz> [checkpoint]
+
+With a third argument the module tree loads that REAL reference checkpoint
+(.pth / .safetensors, strict key match) instead of random weights — the mode
+``examples/real_checkpoint_gate.py`` uses to produce ground-truth activations
+and decodes for the acceptance gate the day real weights appear (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -19,6 +24,20 @@ import torch
 from torch_oracle import KhmerOCR, oracle_beam, oracle_encode, oracle_greedy
 
 VOCAB = 124
+
+
+def load_reference_state(path: str) -> dict:
+    """Load a reference checkpoint's state dict (.pth/.pt torch pickle —
+    possibly nested under 'state_dict'/'model' — or .safetensors)."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        return load_file(path)
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model", "model_state_dict"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    return obj
 
 
 def randomize_bn(model: torch.nn.Module, gen: torch.Generator):
@@ -35,11 +54,18 @@ def rand_chunks(n, seed=0):
     return rng.uniform(-1, 1, size=(n, 1, 48, 100)).astype(np.float32)
 
 
-def main(backbone: str, out_path: str) -> None:
+def main(backbone: str, out_path: str, checkpoint: str | None = None) -> None:
     torch.manual_seed(0)
     gen = torch.Generator().manual_seed(1)
-    tm = KhmerOCR(vocab_size=VOCAB, emb_dim=384, backbone=backbone)
-    randomize_bn(tm, gen)
+    if checkpoint is not None:
+        sd = load_reference_state(checkpoint)
+        emb_dim = sd["patch.proj.weight"].shape[0]
+        vocab = sd["dec.tok_emb.weight"].shape[0]
+        tm = KhmerOCR(vocab_size=vocab, emb_dim=emb_dim, backbone=backbone)
+        tm.load_state_dict(sd, strict=True)
+    else:
+        tm = KhmerOCR(vocab_size=VOCAB, emb_dim=384, backbone=backbone)
+        randomize_bn(tm, gen)
     tm.eval()
 
     blobs: dict[str, np.ndarray] = {}
@@ -98,4 +124,4 @@ def main(backbone: str, out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)

@@ -107,11 +107,20 @@ def test_preprocessor_native_path_matches_pil(tmp_path):
 
     n_ref = min(cfg.num_chunks(line.shape[1]), pre.runtime.chunk_buckets[-1])
     assert (bucket_n, n) == (bucket_for(n_ref, pre.runtime.chunk_buckets), n_ref)
-    # default transfer is uint8 (0..255); normalize on-device matches the
-    # host-normalized float path exactly
-    assert chunks.dtype == np.uint8
+    # default transfer is a uint8 LINE padded to the bucket width (the device
+    # normalizes and window-extracts); re-chunking it on host must match the
+    # full PIL float path exactly
+    assert chunks.dtype == np.uint8 and chunks.ndim == 2
     np.testing.assert_array_equal(
-        (chunks.astype(np.float32) / 255.0 - 0.5) / 0.5,
+        normalize(chunk_line(chunks.astype(np.float32) / 255.0, cfg, bucket_n)),
+        normalize(chunk_line(line, cfg, bucket_n)))
+    # pre-chunked uint8 layout (transfer_lines off) matches too
+    from khmer_ocr_tpu.config import RuntimeConfig
+    pre2 = Preprocessor(runtime=RuntimeConfig(transfer_lines=False))
+    bucket_n2, n2, chunks2 = pre2._prepare_one(str(p))
+    assert (bucket_n2, n2) == (bucket_n, n) and chunks2.ndim == 3
+    np.testing.assert_array_equal(
+        (chunks2.astype(np.float32) / 255.0 - 0.5) / 0.5,
         normalize(chunk_line(line, cfg, bucket_n)))
 
 
