@@ -130,6 +130,75 @@ def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 
     return rates[1]
 
 
+def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3):
+    """Full document pipeline pages/s — the product surface the netra_ocr CLI
+    serves (reference ocr_engine.py:37-102): per page, the SegFormer layout
+    forward + CV post-processing run for real (random weights — the detection
+    COMPUTE and postprocess cost are the true ones), then text-line crops are
+    batch-recognized at beam 3. Random layout weights yield no usable boxes,
+    so the crops come from the page generator's ground-truth line geometry —
+    keeping the per-page recognition load realistic while still paying the
+    full detection cost. Returns (pages/s, lines/s)."""
+    import tempfile
+
+    import jax
+    from PIL import Image
+
+    from khmer_ocr_tpu.config import OCRConfig
+    from khmer_ocr_tpu.data.generator import DocumentTextGenerator
+    from khmer_ocr_tpu.detection.detector import LayoutInference
+    from khmer_ocr_tpu.detection.train import segformer_init
+    from khmer_ocr_tpu.infer.predictor import Predictor
+
+    rng = np.random.RandomState(11)
+    gen = DocumentTextGenerator(seed=11, augment=False, words_per_sample=(2, 6),
+                                corpus_path="none")
+    lines_per_page = 18
+    samples = gen.generate(n_pages * lines_per_page, processes=1)
+    page_w, page_h, margin, gap = 1240, 1754, 90, 12
+    tmp = Path(tempfile.mkdtemp(prefix="bench_doc_"))
+    pages, boxes_per_page = [], []
+    si = 0
+    for pg in range(n_pages):
+        page = np.full((page_h, page_w), 255, np.uint8)
+        y = margin
+        boxes = []
+        for _ in range(lines_per_page):
+            img = samples[si][0]
+            si += 1
+            h, w = img.shape
+            w = min(w, page_w - 2 * margin)
+            x = margin + rng.randint(0, max(page_w - 2 * margin - w, 1))
+            if y + h > page_h - margin:
+                break
+            page[y : y + h, x : x + w] = img[:, :w]
+            boxes.append((x, y, x + w, y + h))
+            y += h + gap
+        p = tmp / f"page{pg}.png"
+        Image.fromarray(page).save(p)
+        pages.append(p)
+        boxes_per_page.append(boxes)
+
+    detector = LayoutInference(model_dir=None, params=segformer_init(jax.random.PRNGKey(0)))
+    predictor = Predictor(params=params, batch_stats=stats, model_cfg=cfg, config=OCRConfig())
+
+    def run_page(page_path, boxes):
+        detector.run(page_path)  # full layout forward + CV postprocess
+        img = Image.open(page_path)
+        crops = [np.asarray(img.crop(b).convert("L")) for b in boxes]
+        return predictor.predict_batch(crops, beam_width=beam_width, batch_size=64,
+                                       max_len=STEPS)
+
+    run_page(pages[0], boxes_per_page[0])  # warm/compile
+    t0 = time.perf_counter()
+    n_lines = 0
+    for p, boxes in zip(pages, boxes_per_page):
+        texts = run_page(p, boxes)
+        n_lines += len(texts)
+    dt = time.perf_counter() - t0
+    return n_pages / dt, n_lines / dt
+
+
 def bench_train(cfg, batch_size: int = 32, n_chunks: int = 4, label_len: int = 48, mesh=None):
     """Training throughput: reference-recipe step (Adam, masked CE, teacher
     forcing, batch 32, CNN-Transformer.ipynb [cell 17]) repeated inside one
@@ -233,6 +302,7 @@ def main() -> None:
     with profile_trace(args.trace, enabled=args.trace is not None):
         beam3 = bench_device(params, stats, cfg, dtype, beam_width=3, batches=mixed, mesh=mesh)
     e2e = bench_end_to_end(params, stats, cfg, n_images=768 * scale, mesh=mesh)
+    doc_pages, doc_lines = bench_document(params, stats, cfg)
     train = bench_train(cfg, batch_size=32 * scale, mesh=mesh)
 
     vs_baseline = beam3 / (PER_CHIP_TARGET * n_dev)
@@ -243,6 +313,8 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 4),
         "greedy_lines_per_sec": round(greedy, 2),
         "e2e_beam3_lines_per_sec": round(e2e, 2),
+        "doc_pages_per_sec": round(doc_pages, 2),
+        "doc_lines_per_sec": round(doc_lines, 2),
         "train_lines_per_sec": round(train, 2),
         "n_devices": n_dev,
     }))

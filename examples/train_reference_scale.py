@@ -91,6 +91,9 @@ def main() -> int:
     p.add_argument("--skip-eval", action="store_true")
     p.add_argument("--corpus-only", action="store_true",
                    help="Build + cache the corpus and eval splits, then exit (CPU-only)")
+    p.add_argument("--host-augment", action="store_true",
+                   help="cv2 augmentation on host CPU (legacy; ~10x slower input "
+                        "pipeline on one core) instead of on-device (the default)")
     args = p.parse_args()
 
     import dataclasses
@@ -117,7 +120,8 @@ def main() -> int:
             checkpoint_every_epochs=10,  # reference: every 10 epochs [cell 17]
         ),
     )
-    dataset = LineDataset(samples, augment=True, train_cfg=config.train)
+    dataset = LineDataset(samples, augment=True, train_cfg=config.train,
+                          device_augment=not args.host_augment)
 
     resume_from = None
     if args.resume == "auto":

@@ -137,8 +137,10 @@ class Predictor:
             self.params = jax.tree.map(lambda x: x.astype(dtype), self.params)
         self.mesh = mesh
         # shape combinations already compiled by grouped dispatch (see
-        # _dispatch_group): canonical keys of sorted member shapes
+        # _dispatch_group): canonical keys of sorted member shapes; failed
+        # combos are blacklisted so a compile-OOM is paid ONCE, not per call
         self._group_combos: set = set()
+        self._group_combos_failed: set = set()
         if mesh is not None:
             from ..parallel.mesh import replicate
 
@@ -323,7 +325,10 @@ class Predictor:
                 realize = _realize_members([self._dispatch_prepared(group[0], beam_width, max_len)])
             else:
                 key = (tuple(self._padded_shape(b) for b in group), beam_width, max_len)
-                if key in self._group_combos or len(self._group_combos) < rt.max_group_combos:
+                if key not in self._group_combos_failed and (
+                    key in self._group_combos
+                    or len(self._group_combos) < rt.max_group_combos
+                ):
                     self._group_combos.add(key)
                     try:
                         if self.mesh is None and all(b.chunks.dtype == np.uint8 for b in group):
@@ -342,6 +347,7 @@ class Predictor:
                             "falling back to per-batch dispatch", key, exc_info=True,
                         )
                         self._group_combos.discard(key)
+                        self._group_combos_failed.add(key)
                         realize = _realize_members(
                             [self._dispatch_prepared(b, beam_width, max_len) for b in group]
                         )

@@ -494,6 +494,8 @@ def fused_beam_decode(params, memory, memory_pad_mask, model_cfg, dec_cfg,
 
     kernel = _kernel_factory(it, k, n_layers, w, lp_, tm, d, h, f, vp, v, max_len,
                              dec_cfg.eos_idx, dec_cfg.sos_idx, dec_cfg.pad_idx, cdt)
+    from .decode_step import VMEM_LIMIT
+
     toks = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -501,6 +503,7 @@ def fused_beam_decode(params, memory, memory_pad_mask, model_cfg, dec_cfg,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     return toks[:, : max_len + 2]

@@ -52,6 +52,15 @@ import os as _os
 # stage on the XLA fallback).
 VMEM_BUDGET = int(_os.environ.get("KHMER_OCR_FUSED_VMEM", int(15.5 * 1024 * 1024)))
 
+# Per-kernel VMEM ceiling passed to Mosaic (CompilerParams.vmem_limit_bytes).
+# The DEFAULT Mosaic limit is ~16 MB; a kernel whose real usage lands a few
+# hundred KB over (layout assignment differs between standalone and combined
+# programs — observed 16.44 MB in a packed multi-decode program for a kernel
+# that fits standalone) fails compilation outright. v5e has 128 MB of VMEM;
+# raising the LIMIT to 24 MB gives marginal layouts room while VMEM_BUDGET
+# still steers tile CHOICE to the validated envelope.
+VMEM_LIMIT = int(_os.environ.get("KHMER_OCR_VMEM_LIMIT", 24 * 1024 * 1024))
+
 # weight operand order (all 2D; vectors reshaped to (1, n) by the wrapper)
 _WEIGHT_FIELDS = (
     "qkv_w", "qkv_b", "so_w", "so_b", "ln1_s", "ln1_b",
@@ -485,6 +494,7 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
         out_shape=out_shape,
         # operand indices count the scalar-prefetch arg: pos=0, x=1, self_k=2, self_v=3
         input_output_aliases={2: 1, 3: 2},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(pos_arr, *operands)
     return x_out, new_k, new_v

@@ -84,3 +84,29 @@ def test_grouped_dispatch_canonical_and_bounded():
     c = p.predict_batch([_img(w4, 3), _img(w1, 1)], beam_width=1, batch_size=1)
     assert p._group_combos == {only_key}
     assert c[1] == a[0]
+
+
+def test_group_compile_failure_blacklisted(monkeypatch):
+    """A packed-group compile failure must fall back to per-batch dispatch AND
+    be blacklisted: the expensive failing compile is attempted ONCE, not per
+    predict_batch call (observed live: a scoped-VMEM OOM retried every pass
+    cut serving to 6 lines/s)."""
+    params, stats = init_model(jax.random.PRNGKey(0), TINY)
+    cfg = OCRConfig().replace(
+        runtime=RuntimeConfig(matmul_precision="default", chunk_buckets=(1, 2),
+                              batch_buckets=(1, 2), max_inflight_batches=2)
+    )
+    p = Predictor(params=params, batch_stats=stats, model_cfg=TINY, config=cfg)
+    calls = {"packed": 0}
+
+    def boom(self, batches, bw, ml):
+        calls["packed"] += 1
+        raise jax.errors.JaxRuntimeError("synthetic compile OOM")
+
+    monkeypatch.setattr(Predictor, "_dispatch_group_packed", boom)
+    imgs = [_img(60, 1), _img(150, 2)]
+    a = p.predict_batch(imgs, beam_width=1, batch_size=1)
+    assert calls["packed"] == 1 and len(p._group_combos_failed) == 1
+    b = p.predict_batch(imgs, beam_width=1, batch_size=1)
+    assert calls["packed"] == 1  # blacklisted: no second attempt
+    assert a == b and all(isinstance(t, str) for t in a)
