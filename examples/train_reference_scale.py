@@ -60,17 +60,32 @@ def build_corpus(work: Path, train_n: int, eval_n: int, processes: int):
         data = np.load(cache, allow_pickle=True)
         return list(zip(list(data["images"]), list(data["labels"]))), None
 
-    half = train_n // 2
-    samples = doc_gen.generate(half, processes=processes)
-    logger.info("document half ready: %d (%.0fs)", len(samples), time.time() - t0)
-    samples += scene_gen.generate(train_n - half, processes=processes)
-    logger.info("corpus ready: %d lines (%.0fs)", len(samples), time.time() - t0)
-    import numpy as np
+    def _save(path: Path, samples_):
+        images = np.empty(len(samples_), object)
+        images[:] = [img for img, _ in samples_]
+        labels = np.array([t for _, t in samples_], object)
+        np.savez(path, images=images, labels=labels)
 
-    images = np.empty(len(samples), object)
-    images[:] = [img for img, _ in samples]
-    labels = np.array([t for _, t in samples], object)
-    np.savez(cache, images=images, labels=labels)
+    def _load(path: Path):
+        data = np.load(path, allow_pickle=True)
+        return list(zip(list(data["images"]), list(data["labels"])))
+
+    # Each generator half is cached independently so an interrupted build
+    # resumes instead of redoing ~40 min of single-core PIL rendering.
+    half = train_n // 2
+    samples = []
+    for name, gen, n in [("doc", doc_gen, half), ("scene", scene_gen, train_n - half)]:
+        part = work / f"train_half_{name}.npz"
+        if part.exists():
+            logger.info("loading cached %s half %s", name, part)
+            samples += _load(part)
+        else:
+            got = gen.generate(n, processes=processes)
+            _save(part, got)
+            logger.info("%s half ready + cached: %d (%.0fs)", name, len(got), time.time() - t0)
+            samples += got
+    logger.info("corpus ready: %d lines (%.0fs)", len(samples), time.time() - t0)
+    _save(cache, samples)
     logger.info("corpus cached -> %s", cache)
     return samples, cache
 
@@ -91,6 +106,12 @@ def main() -> int:
     p.add_argument("--skip-eval", action="store_true")
     p.add_argument("--corpus-only", action="store_true",
                    help="Build + cache the corpus and eval splits, then exit (CPU-only)")
+    p.add_argument("--precision", type=str, default="default",
+                   choices=["default", "high", "highest"],
+                   help="Train-step matmul precision. 'default' = single-pass bf16 "
+                        "MXU with f32 accumulation (standard mixed-precision "
+                        "training, ~6x the MXU rate of 'highest'); serving/eval "
+                        "keeps the parity-exact 'highest' default regardless.")
     p.add_argument("--host-augment", action="store_true",
                    help="cv2 augmentation on host CPU (legacy; ~10x slower input "
                         "pipeline on one core) instead of on-device (the default)")
@@ -112,6 +133,7 @@ def main() -> int:
     config = OCRConfig()
     config = config.replace(
         model=config.model.replace(backbone=args.backbone, use_bilstm=args.backbone == "se_vgg"),
+        runtime=dataclasses.replace(config.runtime, matmul_precision=args.precision),
         train=dataclasses.replace(
             config.train,
             batch_size=args.batch_size,

@@ -64,6 +64,18 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def _stage_windows(max_len: int, w: int) -> tuple[int, ...]:
+    """Static cache-window stages: 8-aligned geometric schedule capped at the
+    full window ``w`` (mirrors models.ocr_model.decode_windows, base 32)."""
+    stages = []
+    we = 32
+    while we < max_len:
+        stages.append(min(_round_up(we, 8), w))
+        we *= 2
+    stages.append(w)
+    return tuple(dict.fromkeys(stages))
+
+
 def megakernel_available(b_imgs: int, k: int, max_len: int, tm: int, d: int, f: int,
                          num_heads: int, vocab: int, itemsize: int) -> bool:
     """Strict envelope for the whole-decode kernel (see module docstring)."""
@@ -169,12 +181,10 @@ def _kernel_factory(it: int, k: int, n_layers: int, w: int, lp_: int, tm: int, d
         segT_c = seg_hd.astype(cdt)
 
         col_lp = jax.lax.broadcasted_iota(i32, (bt, lp_), 1)       # token columns
-        col_w = jax.lax.broadcasted_iota(i32, (bt, w), 1)          # cache slots
         col_v = jax.lax.broadcasted_iota(i32, (bt, vp), 1)         # vocab lanes
         lane_of_row = jax.lax.broadcasted_iota(i32, (bt, 1), 0) % k
         col16 = jax.lax.broadcasted_iota(i32, (it, 16), 1)
         lane_ik = jax.lax.broadcasted_iota(i32, (it, k), 1)
-        t_iota_3 = jax.lax.broadcasted_iota(i32, (bt, w, 1), 1)
 
         # ---- init state -----------------------------------------------------
         toks_ref[...] = jnp.where(col_lp == 0, jnp.int32(sos), jnp.int32(pad))
@@ -197,209 +207,229 @@ def _kernel_factory(it: int, k: int, n_layers: int, w: int, lp_: int, tm: int, d
             cp2.start()
             return cp1, cp2
 
-        def step_body(step, carry):
-            scores, best_score = carry  # (It, K) f32, (It, 1) f32
+        def make_step_body(we):
+            """Step body specialized to a static cache-window stage ``we``
+            (multiple of 8, >= the stage's max step+1): attention touches only
+            the first ``we`` cache slots — the geometric window schedule the
+            per-step path uses (decode_windows), in-kernel."""
+            col_w = jax.lax.broadcasted_iota(i32, (bt, we), 1)
+            t_iota_3 = jax.lax.broadcasted_iota(i32, (bt, we, 1), 1)
 
-            # -- current input token (value-level dynamic column read) -------
-            toks = toks_ref[...]                                      # (Bt, Lp)
-            cur = jnp.sum(jnp.where(col_lp == step, toks, 0), axis=1,
-                          keepdims=True)                              # (Bt, 1)
+            def step_body(step, carry):
+                scores, best_score = carry  # (It, K) f32, (It, 1) f32
 
-            # -- embedding: one-hot MXU matmul + positional row --------------
-            oh = (col_v == cur).astype(cdt)                           # (Bt, Vp)
-            x = jnp.dot(oh, emb_ref[...], preferred_element_type=f32,
-                        precision=_PREC)                              # (Bt, D)
-            prow_iota = jax.lax.broadcasted_iota(i32, (lp_, 1), 0)
-            prow = jnp.sum(jnp.where(prow_iota == step, pos_ref[...].astype(f32), 0.0),
-                           axis=0, keepdims=True)                     # (1, D)
-            x = (x + prow).astype(cdt)
+                # -- current input token (value-level dynamic column read) ---
+                toks = toks_ref[...]                                  # (Bt, Lp)
+                cur = jnp.sum(jnp.where(col_lp == step, toks, 0), axis=1,
+                              keepdims=True)                          # (Bt, 1)
 
-            lin = lineage_ref[...]                                    # (Bt, w)
+                # -- embedding: one-hot MXU matmul + positional row ----------
+                oh = (col_v == cur).astype(cdt)                       # (Bt, Vp)
+                x = jnp.dot(oh, emb_ref[...], preferred_element_type=f32,
+                            precision=_PREC)                          # (Bt, D)
+                prow_iota = jax.lax.broadcasted_iota(i32, (lp_, 1), 0)
+                prow = jnp.sum(jnp.where(prow_iota == step, pos_ref[...].astype(f32), 0.0),
+                               axis=0, keepdims=True)                 # (1, D)
+                x = (x + prow).astype(cdt)
 
-            for li in range(n_layers):
-                res = res_refs[li]
-                kc_ref, vc_ref = cache_refs[li]
-                cp1, cp2 = start_ffn_dma(li)
+                lin = lineage_ref[:, :we]                             # (Bt, we)
 
-                xin = x
-                xf = xin.astype(f32)
-                # packed self-QKV + cache write (8-aligned block store)
-                qkv = jnp.dot(xin, res["qkv_w"][...], preferred_element_type=f32,
-                              precision=_PREC) + res["qkv_b"][...].astype(f32)
-                q_t = qkv[:, :d]
-                k_t = qkv[:, d:2 * d].astype(cdt)
-                v_t = qkv[:, 2 * d:].astype(cdt)
-                start = pl.multiple_of((step // 8) * 8, 8)
-                t8 = start + jax.lax.broadcasted_iota(i32, (bt, 8, 1), 1)
-                patch8 = t8 == step
-                kc_ref[:, pl.ds(start, 8), :] = jnp.where(
-                    patch8, k_t[:, None, :], kc_ref[:, pl.ds(start, 8), :])
-                vc_ref[:, pl.ds(start, 8), :] = jnp.where(
-                    patch8, v_t[:, None, :], vc_ref[:, pl.ds(start, 8), :])
+                for li in range(n_layers):
+                    res = res_refs[li]
+                    kc_ref, vc_ref = cache_refs[li]
+                    cp1, cp2 = start_ffn_dma(li)
 
-                k_win = kc_ref[...]
-                v_win = vc_ref[...]
-                # pointer-lineage select (slot `step` belongs to self)
-                lin_here = jnp.where(col_w == step, lane_of_row, lin)
-                lin4 = lin_here.reshape(it, k, w)[..., None]
-                k4 = k_win.reshape(it, k, w, d)
-                v4 = v_win.reshape(it, k, w, d)
-                k_read = jnp.zeros_like(k4)
-                v_read = jnp.zeros_like(v4)
-                for p in range(k):
-                    sel = lin4 == p
-                    k_read = jnp.where(sel, k4[:, p:p + 1], k_read)
-                    v_read = jnp.where(sel, v4[:, p:p + 1], v_read)
-                k_read = k_read.reshape(bt, w, d)
-                v_read = v_read.reshape(bt, w, d)
+                    xin = x
+                    xf = xin.astype(f32)
+                    # packed self-QKV + cache write (8-aligned block store)
+                    qkv = jnp.dot(xin, res["qkv_w"][...], preferred_element_type=f32,
+                                  precision=_PREC) + res["qkv_b"][...].astype(f32)
+                    q_t = qkv[:, :d]
+                    k_t = qkv[:, d:2 * d].astype(cdt)
+                    v_t = qkv[:, 2 * d:].astype(cdt)
+                    start = pl.multiple_of((step // 8) * 8, 8)
+                    t8 = start + jax.lax.broadcasted_iota(i32, (bt, 8, 1), 1)
+                    patch8 = t8 == step
+                    kc_ref[:, pl.ds(start, 8), :] = jnp.where(
+                        patch8, k_t[:, None, :], kc_ref[:, pl.ds(start, 8), :])
+                    vc_ref[:, pl.ds(start, 8), :] = jnp.where(
+                        patch8, v_t[:, None, :], vc_ref[:, pl.ds(start, 8), :])
 
-                prod = k_read * q_t.astype(cdt)[:, None, :]
-                logits = jnp.dot(prod.reshape(bt * w, d), seg_c,
-                                 preferred_element_type=f32,
-                                 precision=_PREC).reshape(bt, w, h) * inv_sqrt_hd
-                logits = jnp.where(t_iota_3 <= step, logits, NEG_INF)
-                attn = softmax1(logits)
-                a_exp = jnp.dot(attn.astype(cdt).reshape(bt * w, h), segT_c,
-                                preferred_element_type=f32,
-                                precision=_PREC).reshape(bt, w, d).astype(cdt)
-                sa = jnp.sum(a_exp * v_read, axis=1, dtype=f32)
-                sa = jnp.dot(sa.astype(cdt), res["so_w"][...],
-                             preferred_element_type=f32, precision=_PREC) \
-                    + res["so_b"][...].astype(f32)
-                xf = ln(xf + sa, res["ln1_s"], res["ln1_b"])
+                    k_win = kc_ref[:, :we, :]
+                    v_win = vc_ref[:, :we, :]
+                    # pointer-lineage select (slot `step` belongs to self)
+                    lin_here = jnp.where(col_w == step, lane_of_row, lin)
+                    lin4 = lin_here.reshape(it, k, we)[..., None]
+                    k4 = k_win.reshape(it, k, we, d)
+                    v4 = v_win.reshape(it, k, we, d)
+                    k_read = jnp.zeros_like(k4)
+                    v_read = jnp.zeros_like(v4)
+                    for p in range(k):
+                        sel = lin4 == p
+                        k_read = jnp.where(sel, k4[:, p:p + 1], k_read)
+                        v_read = jnp.where(sel, v4[:, p:p + 1], v_read)
+                    k_read = k_read.reshape(bt, we, d)
+                    v_read = v_read.reshape(bt, we, d)
 
-                # grouped cross-attention (resident memory K/V)
-                qc = jnp.dot(xf.astype(cdt), res["cq_w"][...],
-                             preferred_element_type=f32, precision=_PREC) \
-                    + res["cq_b"][...].astype(f32)
-                qc3 = qc.astype(cdt).reshape(it, k, d)
-                mem_kc = mem_refs[li][0][...]
-                mem_vc = mem_refs[li][1][...]
-                ca_lanes = []
-                for p in range(k):
-                    cprod = mem_kc * qc3[:, p][:, None, :]
-                    cl = jnp.dot(cprod.reshape(it * tm, d), seg_c,
-                                 preferred_element_type=f32,
-                                 precision=_PREC).reshape(it, tm, h)
-                    cl = jnp.where(mem_ok, cl * inv_sqrt_hd, NEG_INF)
-                    cattn = softmax1(cl)
-                    ce = jnp.dot(cattn.astype(cdt).reshape(it * tm, h), segT_c,
-                                 preferred_element_type=f32,
-                                 precision=_PREC).reshape(it, tm, d).astype(cdt)
-                    ca_lanes.append(jnp.sum(ce * mem_vc, axis=1, dtype=f32)[:, None, :])
-                ca = (ca_lanes[0] if k == 1 else
-                      jnp.concatenate(ca_lanes, axis=1)).reshape(bt, d)
-                ca = jnp.dot(ca.astype(cdt), res["co_w"][...],
-                             preferred_element_type=f32, precision=_PREC) \
-                    + res["co_b"][...].astype(f32)
-                xf = ln(xf + ca, res["ln2_s"], res["ln2_b"])
+                    prod = k_read * q_t.astype(cdt)[:, None, :]
+                    logits = jnp.dot(prod.reshape(bt * we, d), seg_c,
+                                     preferred_element_type=f32,
+                                     precision=_PREC).reshape(bt, we, h) * inv_sqrt_hd
+                    logits = jnp.where(t_iota_3 <= step, logits, NEG_INF)
+                    attn = softmax1(logits)
+                    a_exp = jnp.dot(attn.astype(cdt).reshape(bt * we, h), segT_c,
+                                    preferred_element_type=f32,
+                                    precision=_PREC).reshape(bt, we, d).astype(cdt)
+                    sa = jnp.sum(a_exp * v_read, axis=1, dtype=f32)
+                    sa = jnp.dot(sa.astype(cdt), res["so_w"][...],
+                                 preferred_element_type=f32, precision=_PREC) \
+                        + res["so_b"][...].astype(f32)
+                    xf = ln(xf + sa, res["ln1_s"], res["ln1_b"])
 
-                # FFN (streamed weights)
-                cp1.wait()
-                cp2.wait()
-                h1 = jnp.dot(xf.astype(cdt), l1_buf[...],
-                             preferred_element_type=f32, precision=_PREC) \
-                    + res["l1_b"][...].astype(f32)
-                h1 = jnp.maximum(h1, 0.0)
-                h2 = jnp.dot(h1.astype(cdt), l2_buf[...],
-                             preferred_element_type=f32, precision=_PREC) \
-                    + res["l2_b"][...].astype(f32)
-                xf = ln(xf + h2, res["ln3_s"], res["ln3_b"])
-                x = xf.astype(cdt)
+                    # grouped cross-attention (resident memory K/V)
+                    qc = jnp.dot(xf.astype(cdt), res["cq_w"][...],
+                                 preferred_element_type=f32, precision=_PREC) \
+                        + res["cq_b"][...].astype(f32)
+                    qc3 = qc.astype(cdt).reshape(it, k, d)
+                    mem_kc = mem_refs[li][0][...]
+                    mem_vc = mem_refs[li][1][...]
+                    ca_lanes = []
+                    for p in range(k):
+                        cprod = mem_kc * qc3[:, p][:, None, :]
+                        cl = jnp.dot(cprod.reshape(it * tm, d), seg_c,
+                                     preferred_element_type=f32,
+                                     precision=_PREC).reshape(it, tm, h)
+                        cl = jnp.where(mem_ok, cl * inv_sqrt_hd, NEG_INF)
+                        cattn = softmax1(cl)
+                        ce = jnp.dot(cattn.astype(cdt).reshape(it * tm, h), segT_c,
+                                     preferred_element_type=f32,
+                                     precision=_PREC).reshape(it, tm, d).astype(cdt)
+                        ca_lanes.append(jnp.sum(ce * mem_vc, axis=1, dtype=f32)[:, None, :])
+                    ca = (ca_lanes[0] if k == 1 else
+                          jnp.concatenate(ca_lanes, axis=1)).reshape(bt, d)
+                    ca = jnp.dot(ca.astype(cdt), res["co_w"][...],
+                                 preferred_element_type=f32, precision=_PREC) \
+                        + res["co_b"][...].astype(f32)
+                    xf = ln(xf + ca, res["ln2_s"], res["ln2_b"])
 
-            # -- out projection + masked log-softmax --------------------------
-            logits_v = jnp.dot(x, out_w_ref[...], preferred_element_type=f32,
-                               precision=_PREC) + out_b_ref[...].astype(f32)
-            logits_v = jnp.where(col_v < v, logits_v, NEG_INF)        # (Bt, Vp)
-            m = jnp.max(logits_v, axis=1, keepdims=True)
-            lse = jnp.log(jnp.sum(jnp.exp(logits_v - m), axis=1, keepdims=True)) + m
-            logp = logits_v - lse
+                    # FFN (streamed weights)
+                    cp1.wait()
+                    cp2.wait()
+                    h1 = jnp.dot(xf.astype(cdt), l1_buf[...],
+                                 preferred_element_type=f32, precision=_PREC) \
+                        + res["l1_b"][...].astype(f32)
+                    h1 = jnp.maximum(h1, 0.0)
+                    h2 = jnp.dot(h1.astype(cdt), l2_buf[...],
+                                 preferred_element_type=f32, precision=_PREC) \
+                        + res["l2_b"][...].astype(f32)
+                    xf = ln(xf + h2, res["ln3_s"], res["ln3_b"])
+                    x = xf.astype(cdt)
 
-            # -- per-beam top-K (iterative max + min-index == lax.top_k) ------
-            cur_lp = logp
-            top_lp, top_id = [], []
-            for _ in range(k):
-                mj = jnp.max(cur_lp, axis=1, keepdims=True)           # (Bt, 1)
-                ij = jnp.min(jnp.where(cur_lp == mj, col_v, BIG), axis=1,
-                             keepdims=True)                           # (Bt, 1)
-                top_lp.append(mj)
-                top_id.append(ij)
-                cur_lp = jnp.where(col_v == ij, NEG_INF, cur_lp)
+                # -- out projection + masked log-softmax --------------------------
+                logits_v = jnp.dot(x, out_w_ref[...], preferred_element_type=f32,
+                                   precision=_PREC) + out_b_ref[...].astype(f32)
+                logits_v = jnp.where(col_v < v, logits_v, NEG_INF)        # (Bt, Vp)
+                m = jnp.max(logits_v, axis=1, keepdims=True)
+                lse = jnp.log(jnp.sum(jnp.exp(logits_v - m), axis=1, keepdims=True)) + m
+                logp = logits_v - lse
 
-            scores_bt = scores.reshape(bt, 1)
-            cand = [scores_bt + top_lp[j] for j in range(k)]          # (Bt, 1) x K
-            is_eos = [top_id[j] == eos for j in range(k)]
+                # -- per-beam top-K (iterative max + min-index == lax.top_k) ------
+                cur_lp = logp
+                top_lp, top_id = [], []
+                for _ in range(k):
+                    mj = jnp.max(cur_lp, axis=1, keepdims=True)           # (Bt, 1)
+                    ij = jnp.min(jnp.where(cur_lp == mj, col_v, BIG), axis=1,
+                                 keepdims=True)                           # (Bt, 1)
+                    top_lp.append(mj)
+                    top_id.append(ij)
+                    cur_lp = jnp.where(col_v == ij, NEG_INF, cur_lp)
 
-            # -- completions: best normalized eos candidate -------------------
-            norm_den = (step + 2).astype(f32)
-            eos_norm = jnp.full((bt, 1), NEG_INF, f32)
-            for j in range(k):
-                nj = jnp.where(is_eos[j], cand[j] / norm_den, NEG_INF)
-                eos_norm = jnp.maximum(eos_norm, nj)
-            eos_ik = eos_norm.reshape(it, k)                          # (It, K)
-            step_best = jnp.max(eos_ik, axis=1, keepdims=True)        # (It, 1)
-            best_beam = jnp.min(jnp.where(eos_ik == step_best, lane_ik, BIG),
-                                axis=1, keepdims=True)                # (It, 1)
-            improved = step_best > best_score
-            toks4 = toks.reshape(it, k, lp_)
-            done_tok = jnp.zeros((it, lp_), i32)
-            for p in range(k):
-                done_tok = jnp.where(best_beam == p, toks4[:, p], done_tok)
-            done_tok = jnp.where(
-                jax.lax.broadcasted_iota(i32, (it, lp_), 1) == step + 1,
-                eos, done_tok)
-            bdt_ref[...] = jnp.where(improved, done_tok, bdt_ref[...])
-            best_score = jnp.where(improved, step_best, best_score)
+                scores_bt = scores.reshape(bt, 1)
+                cand = [scores_bt + top_lp[j] for j in range(k)]          # (Bt, 1) x K
+                is_eos = [top_id[j] == eos for j in range(k)]
 
-            # -- next beams: best K non-eos of the K*K candidates -------------
-            # flat layout (It, 16): col l*K + j, padded with NEG_INF
-            flat_cols, id_cols = [], []
-            for l in range(k):
+                # -- completions: best normalized eos candidate -------------------
+                norm_den = (step + 2).astype(f32)
+                eos_norm = jnp.full((bt, 1), NEG_INF, f32)
                 for j in range(k):
-                    cj = jnp.where(is_eos[j], NEG_INF, cand[j]).reshape(it, k)
-                    ij = top_id[j].reshape(it, k)
-                    flat_cols.append(cj[:, l:l + 1])
-                    id_cols.append(ij[:, l:l + 1])
-            pad_n = 16 - k * k
-            flat = jnp.concatenate(
-                flat_cols + [jnp.full((it, 1), NEG_INF, f32)] * pad_n, axis=1)
-            ids16 = jnp.concatenate(
-                id_cols + [jnp.zeros((it, 1), i32)] * pad_n, axis=1)  # (It, 16)
+                    nj = jnp.where(is_eos[j], cand[j] / norm_den, NEG_INF)
+                    eos_norm = jnp.maximum(eos_norm, nj)
+                eos_ik = eos_norm.reshape(it, k)                          # (It, K)
+                step_best = jnp.max(eos_ik, axis=1, keepdims=True)        # (It, 1)
+                best_beam = jnp.min(jnp.where(eos_ik == step_best, lane_ik, BIG),
+                                    axis=1, keepdims=True)                # (It, 1)
+                improved = step_best > best_score
+                toks4 = toks.reshape(it, k, lp_)
+                done_tok = jnp.zeros((it, lp_), i32)
+                for p in range(k):
+                    done_tok = jnp.where(best_beam == p, toks4[:, p], done_tok)
+                done_tok = jnp.where(
+                    jax.lax.broadcasted_iota(i32, (it, lp_), 1) == step + 1,
+                    eos, done_tok)
+                bdt_ref[...] = jnp.where(improved, done_tok, bdt_ref[...])
+                best_score = jnp.where(improved, step_best, best_score)
 
-            new_scores_cols, parent_cols, newtok_cols = [], [], []
-            cur_flat = flat
-            for _ in range(k):
-                mr = jnp.max(cur_flat, axis=1, keepdims=True)         # (It, 1)
-                ir = jnp.min(jnp.where(cur_flat == mr, col16, BIG), axis=1,
-                             keepdims=True)                           # (It, 1)
-                tok_r = jnp.sum(jnp.where(col16 == ir, ids16, 0), axis=1,
-                                keepdims=True)
-                new_scores_cols.append(mr)
-                parent_cols.append(ir // k)
-                newtok_cols.append(tok_r)
-                cur_flat = jnp.where(col16 == ir, NEG_INF, cur_flat)
-            new_scores = jnp.concatenate(new_scores_cols, axis=1)     # (It, K)
-            parent = jnp.concatenate(parent_cols, axis=1)             # (It, K)
-            new_tok = jnp.concatenate(newtok_cols, axis=1)            # (It, K)
+                # -- next beams: best K non-eos of the K*K candidates -------------
+                # flat layout (It, 16): col l*K + j, padded with NEG_INF
+                flat_cols, id_cols = [], []
+                for l in range(k):
+                    for j in range(k):
+                        cj = jnp.where(is_eos[j], NEG_INF, cand[j]).reshape(it, k)
+                        ij = top_id[j].reshape(it, k)
+                        flat_cols.append(cj[:, l:l + 1])
+                        id_cols.append(ij[:, l:l + 1])
+                pad_n = 16 - k * k
+                flat = jnp.concatenate(
+                    flat_cols + [jnp.full((it, 1), NEG_INF, f32)] * pad_n, axis=1)
+                ids16 = jnp.concatenate(
+                    id_cols + [jnp.zeros((it, 1), i32)] * pad_n, axis=1)  # (It, 16)
 
-            # -- reorder token history + lineage via parent pointers ----------
-            newt = jnp.zeros((it, k, lp_), i32)
-            lin4h = jnp.where(col_w == step, lane_of_row, lin).reshape(it, k, w)
-            newlin = jnp.zeros((it, k, w), i32)
-            for p in range(k):
-                selp = (parent[:, :, None] == p)
-                newt = jnp.where(selp, toks4[:, p:p + 1], newt)
-                newlin = jnp.where(selp, lin4h[:, p:p + 1], newlin)
-            col_lp3 = jax.lax.broadcasted_iota(i32, (it, k, lp_), 2)
-            newt = jnp.where(col_lp3 == step + 1, new_tok[:, :, None], newt)
-            col_w3 = jax.lax.broadcasted_iota(i32, (it, k, w), 2)
-            newlin = jnp.where(col_w3 == step, parent[:, :, None], newlin)
-            toks_ref[...] = newt.reshape(bt, lp_)
-            lineage_ref[...] = newlin.reshape(bt, w)
+                new_scores_cols, parent_cols, newtok_cols = [], [], []
+                cur_flat = flat
+                for _ in range(k):
+                    mr = jnp.max(cur_flat, axis=1, keepdims=True)         # (It, 1)
+                    ir = jnp.min(jnp.where(cur_flat == mr, col16, BIG), axis=1,
+                                 keepdims=True)                           # (It, 1)
+                    tok_r = jnp.sum(jnp.where(col16 == ir, ids16, 0), axis=1,
+                                    keepdims=True)
+                    new_scores_cols.append(mr)
+                    parent_cols.append(ir // k)
+                    newtok_cols.append(tok_r)
+                    cur_flat = jnp.where(col16 == ir, NEG_INF, cur_flat)
+                new_scores = jnp.concatenate(new_scores_cols, axis=1)     # (It, K)
+                parent = jnp.concatenate(parent_cols, axis=1)             # (It, K)
+                new_tok = jnp.concatenate(newtok_cols, axis=1)            # (It, K)
 
-            return new_scores, best_score
+                # -- reorder token history + lineage via parent pointers ----------
+                newt = jnp.zeros((it, k, lp_), i32)
+                lin4h = jnp.where(col_w == step, lane_of_row, lin).reshape(it, k, we)
+                newlin = jnp.zeros((it, k, we), i32)
+                for p in range(k):
+                    selp = (parent[:, :, None] == p)
+                    newt = jnp.where(selp, toks4[:, p:p + 1], newt)
+                    newlin = jnp.where(selp, lin4h[:, p:p + 1], newlin)
+                col_lp3 = jax.lax.broadcasted_iota(i32, (it, k, lp_), 2)
+                newt = jnp.where(col_lp3 == step + 1, new_tok[:, :, None], newt)
+                col_w3 = jax.lax.broadcasted_iota(i32, (it, k, we), 2)
+                newlin = jnp.where(col_w3 == step, parent[:, :, None], newlin)
+                toks_ref[...] = newt.reshape(bt, lp_)
+                lineage_ref[:, :we] = newlin.reshape(bt, we)
 
-        scores, best_score = jax.lax.fori_loop(0, max_len, step_body, (scores0, best0))
+                return new_scores, best_score
+
+            return step_body
+
+
+        # geometric window stages (decode_windows semantics): steps [lo, hi)
+        # run with a static cache window we >= hi, so early steps never sweep
+        # the full max_len window
+        carry = (scores0, best0)
+        lo = 0
+        for we in _stage_windows(max_len, w):
+            hi = min(we, max_len)
+            carry = jax.lax.fori_loop(lo, hi, make_step_body(we), carry)
+            lo = hi
+        scores, best_score = carry
 
         # ---- final: best completed else lane 0 ------------------------------
         has_done = best_score > NEG_INF / 2                            # (It, 1)
