@@ -106,17 +106,24 @@ def should_use_megakernel(b_rows: int, k: int, max_len: int, tm: int, d: int, f:
                           mode: str | None = None) -> tuple[bool, bool]:
     """Trace-time policy mirroring decode_step.should_use_fused: (use, interpret).
 
-    KHMER_OCR_MEGA_DECODE: "0" off, "1" force (interpreter off-TPU, for tests);
-    default auto (TPU + envelope). The flag rides DecodeConfig.fused_mode's
-    sibling env var and is snapshotted the same way by the Predictor."""
+    KHMER_OCR_MEGA_DECODE: "1" opt-in (interpreter off-TPU, for tests);
+    default OFF — measured at device-time par with the per-step fused path on
+    v5e but ~10x the compile cost (see below). The flag rides
+    DecodeConfig.fused_mode's sibling env var and is snapshotted the same way
+    by the Predictor."""
     import os
 
     env = os.environ.get("KHMER_OCR_MEGA_DECODE") if mode is None else mode
-    if env == "0":
+    if env != "1":
+        # OPT-IN only (measured v5e, B=128 images, Tm=128, beam-3, 64 steps):
+        # the megakernel decodes in 30.6 ms vs the per-step fused path's
+        # 29.9 ms — device-time par — while compiling ~10x slower (18.7 s vs
+        # 1.7 s). The per-step fused decode-step kernel (decode_step.py) is
+        # the production beam path; the megakernel stays available for
+        # shapes/hardware where one-launch decode may win (e.g. much smaller
+        # batches, where per-step XLA glue stops amortizing).
         return False, False
     backend = jax.default_backend()
-    if backend != "tpu" and env != "1":
-        return False, False
     if b_rows % max(k, 1):
         return False, False
     strict = backend == "tpu"
