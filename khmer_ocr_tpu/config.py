@@ -145,6 +145,12 @@ class RuntimeConfig:
     # tunnel transfer (~1.19x). Requires transfer_uint8. Bit-identical to the
     # host chunker (tests/test_foundations.py::test_device_chunking_parity).
     transfer_lines: bool = True
+    # Width cap (px) of the native loader's REUSED slab buffer. The full
+    # 128-chunk width (10768 px) would make each 512-image slab a fresh 264 MB
+    # allocation whose first-touch page faults dominate host prep (measured
+    # 58 ms/image vs 0.2 ms at a tight cap). 2048 px covers lines up to 23
+    # chunks; rarer wider lines fall back to a tight per-image native decode.
+    slab_cap_w: int = 2048
 
 
 @dataclass(frozen=True)

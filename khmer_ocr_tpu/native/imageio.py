@@ -90,19 +90,28 @@ def load_resize_gray(path, out_h: int = 48, min_w: int = 50, cap_w: int = 10768,
 
 
 def load_resize_gray_batch(paths, out_h: int = 48, min_w: int = 50, cap_w: int = 10768,
-                           n_threads: int = 0):
+                           n_threads: int = 0, out: np.ndarray | None = None):
     """Threaded batch decode+resize.
 
     Returns (buf (n, out_h, cap_w) uint8, widths (n,) int32, errs (n,) int32) or
     None if the library is unavailable. widths may exceed cap_w (the natural
     resized width); valid columns are min(width, cap_w). errs[i] != 0 means
     image i failed (fall back to PIL for it).
+
+    ``out``: optional preallocated (>=n, out_h, cap_w) uint8 buffer to decode
+    into (a view of its first n rows is returned). Reusing one slab buffer
+    across calls avoids first-touch page faults on large fresh allocations —
+    the C++ writes only the first ``widths[i]`` columns of each row, and
+    callers must read only those, so stale contents are harmless.
     """
     lib = load_imageio_library()
     if lib is None:
         return None
     n = len(paths)
-    bufs = np.empty((n, out_h, cap_w), np.uint8)
+    if out is not None and out.shape[0] >= n and out.shape[1:] == (out_h, cap_w):
+        bufs = out[:n]
+    else:
+        bufs = np.empty((n, out_h, cap_w), np.uint8)
     widths = np.zeros(n, np.int32)
     errs = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])

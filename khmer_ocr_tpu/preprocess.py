@@ -156,6 +156,7 @@ class Preprocessor:
     def __init__(self, cfg: PreprocessConfig | None = None, runtime: RuntimeConfig | None = None):
         self.cfg = cfg or PreprocessConfig()
         self.runtime = runtime or RuntimeConfig()
+        self._slab_buf: np.ndarray | None = None  # reused native-decode slab
 
     def process_line(self, image_source, n_chunks: int | None = None) -> np.ndarray:
         """Single line -> (N, H, CW) normalized chunks (reference `process`)."""
@@ -289,30 +290,48 @@ class Preprocessor:
                     yield from self._feed(i, out, grouped, assemble, max_batch)
             return
 
-        from .native.imageio import load_resize_gray_batch
+        from .native.imageio import load_resize_gray, load_resize_gray_batch
 
         cfg = self.cfg
-        cap_w = (self.runtime.chunk_buckets[-1] - 1) * cfg.chunk_stride + cfg.chunk_width
+        cap_full = (self.runtime.chunk_buckets[-1] - 1) * cfg.chunk_stride + cfg.chunk_width
+        # Decode into a REUSED tight slab (slab_cap_w) — a fresh full-width
+        # (slab, 48, 10768) buffer costs ~60 ms/image in first-touch page
+        # faults alone (RuntimeConfig.slab_cap_w). Lines wider than the cap
+        # (widths[j] > cap_w) re-decode individually at full width below.
+        cap_w = min(cap_full, self.runtime.slab_cap_w)
+        if self._slab_buf is None or self._slab_buf.shape[1:] != (cfg.img_height, cap_w) \
+                or self._slab_buf.shape[0] < min(slab, len(image_sources)):
+            self._slab_buf = np.empty((min(slab, len(image_sources)), cfg.img_height, cap_w), np.uint8)
         for start in range(0, len(image_sources), slab):
             paths = image_sources[start : start + slab]
             decoded = load_resize_gray_batch(
                 paths, out_h=cfg.img_height, min_w=cfg.min_width, cap_w=cap_w,
-                n_threads=self.runtime.host_workers,
+                n_threads=self.runtime.host_workers, out=self._slab_buf,
             )
             bufs, widths, errs = decoded
             for j, path in enumerate(paths):
+                row, w_nat = bufs[j], int(widths[j])
                 if errs[j] != 0:
                     if not Path(path).exists():
                         raise FileNotFoundError(f"Image not found: {path}")
                     out = self._prepare_one(path)  # PIL fallback (exotic format)
-                else:
-                    keep = min(int(widths[j]), cap_w)
-                    n = min(cfg.num_chunks(keep), self.runtime.chunk_buckets[-1])
-                    bucket_n = bucket_for(n, self.runtime.chunk_buckets)
-                    padded_w = (bucket_n - 1) * cfg.chunk_stride + cfg.chunk_width
-                    padded = np.full((cfg.img_height, padded_w), 255, np.uint8)
-                    padded[:, : min(keep, padded_w)] = bufs[j, :, : min(keep, padded_w)]
-                    out = (bucket_n, n, padded)
+                    yield from self._feed(start + j, out, grouped, assemble, max_batch)
+                    continue
+                if w_nat > cap_w:  # rare wide line: tight full-width re-decode
+                    full = load_resize_gray(path, out_h=cfg.img_height, min_w=cfg.min_width,
+                                            cap_w=cap_full, as_uint8=True)
+                    if full is None:
+                        out = self._prepare_one(path)
+                        yield from self._feed(start + j, out, grouped, assemble, max_batch)
+                        continue
+                    row, w_nat = full, full.shape[1]
+                keep = min(w_nat, cap_full)
+                n = min(cfg.num_chunks(keep), self.runtime.chunk_buckets[-1])
+                bucket_n = bucket_for(n, self.runtime.chunk_buckets)
+                padded_w = (bucket_n - 1) * cfg.chunk_stride + cfg.chunk_width
+                padded = np.full((cfg.img_height, padded_w), 255, np.uint8)
+                padded[:, : min(keep, padded_w)] = row[:, : min(keep, padded_w)]
+                out = (bucket_n, n, padded)
                 yield from self._feed(start + j, out, grouped, assemble, max_batch)
 
     @staticmethod
