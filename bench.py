@@ -132,14 +132,16 @@ def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 
 
 
 def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3):
-    """Full document pipeline pages/s — the product surface the netra_ocr CLI
-    serves (reference ocr_engine.py:37-102): per page, the SegFormer layout
-    forward + CV post-processing run for real (random weights — the detection
-    COMPUTE and postprocess cost are the true ones), then text-line crops are
-    batch-recognized at beam 3. Random layout weights yield no usable boxes,
-    so the crops come from the page generator's ground-truth line geometry —
-    keeping the per-page recognition load realistic while still paying the
-    full detection cost. Returns (pages/s, lines/s)."""
+    """Full document pipeline pages/s through the PIPELINED multi-page path
+    (pipeline/engine.py::process_pages) — the product surface the netra_ocr
+    CLI serves (reference ocr_engine.py:37-102, strictly sequential there).
+    Per page: the real SegFormer device forward + host upsample, then the CV
+    postprocess on a REALISTIC class map painted from the page's known line
+    geometry (random weights emit noise maps whose thousands of spurious
+    contours make postprocess ~100x slower than on any real page — that cost
+    would be an artifact), then the line crops batch-recognize at beam 3.
+    Detection of page N+1 overlaps recognition of page N on the worker
+    thread. Returns (pages/s, lines/s)."""
     import tempfile
 
     import jax
@@ -183,20 +185,38 @@ def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3):
     detector = LayoutInference(model_dir=None, params=segformer_init(jax.random.PRNGKey(0)))
     predictor = Predictor(params=params, batch_stats=stats, model_cfg=cfg, config=OCRConfig())
 
-    def run_page(page_path, boxes):
-        detector.run(page_path)  # full layout forward + CV postprocess
-        img = Image.open(page_path)
-        crops = [np.asarray(img.crop(b).convert("L")) for b in boxes]
-        return predictor.predict_batch(crops, beam_width=beam_width, batch_size=64,
-                                       max_len=STEPS)
+    from khmer_ocr_tpu.detection.postprocess import extract_layout_elements
+    from khmer_ocr_tpu.pipeline.engine import KhmerOCRPipeline
 
-    run_page(pages[0], boxes_per_page[0])  # warm/compile
+    boxes_by_page = {str(p): b for p, b in zip(pages, boxes_per_page)}
+
+    pipe = KhmerOCRPipeline.__new__(KhmerOCRPipeline)
+    pipe.engine = "custom"
+    pipe.recognizer_model_path = pipe.vocab_path = None
+    pipe.recognize_fn = lambda crops, beam_width, batch_size, model_path, vocab_path: (
+        predictor.predict_batch(crops, beam_width=beam_width, batch_size=batch_size,
+                                max_len=STEPS)
+    )
+
+    def detect_crops(page_path, padding):
+        boxes = boxes_by_page[str(page_path)]
+        image, cm, hm = detector.predict_maps(page_path)  # real device forward
+        cm = np.zeros_like(cm)
+        hm = np.full_like(hm, 0.9)
+        for (x0, y0, x1, y1) in boxes:
+            cm[y0:y1, x0:x1] = 10  # DocLayNet "Text"
+        extract_layout_elements(image, cm, hm, detector.cfg)  # real CV postprocess
+        img = Image.open(page_path)
+        return [np.asarray(img.crop(b).convert("L")) for b in boxes]
+
+    pipe._detect_crops = detect_crops
+
+    pipe.process_pages(pages[:2], beam_width=beam_width, batch_size=64)  # warm/compile
+    n_lines = sum(len(b) for b in boxes_per_page)
     t0 = time.perf_counter()
-    n_lines = 0
-    for p, boxes in zip(pages, boxes_per_page):
-        texts = run_page(p, boxes)
-        n_lines += len(texts)
+    texts = pipe.process_pages(pages, beam_width=beam_width, batch_size=64)
     dt = time.perf_counter() - t0
+    assert len(texts) == n_pages
     return n_pages / dt, n_lines / dt
 
 

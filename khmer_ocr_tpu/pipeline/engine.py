@@ -22,12 +22,19 @@ logger = logging.getLogger(__name__)
 
 class KhmerOCRPipeline:
     def __init__(self, engine: str = "surya", layout_model_dir: str | None = None,
-                 recognizer_model_path: str | None = None, vocab_path: str | None = None):
+                 recognizer_model_path: str | None = None, vocab_path: str | None = None,
+                 recognize_fn=None):
+        """``recognize_fn``: optional recognize_batch-compatible callable
+        ``(crops, beam_width, batch_size, model_path, vocab_path) -> [str]``;
+        defaults to the public api singleton (infer/api.py). Lets callers with
+        an in-memory Predictor (benchmarks, services) use the pipelined path
+        without a checkpoint on disk."""
         self.engine = engine
         self.layout_cfg = LayoutConfig()
         self.text_ids = set(self.layout_cfg.text_classes)
         self.recognizer_model_path = recognizer_model_path
         self.vocab_path = vocab_path
+        self.recognize_fn = recognize_fn
         if engine == "custom":
             from ..detection.detector import LayoutInference
 
@@ -68,7 +75,7 @@ class KhmerOCRPipeline:
             logger.warning("No text elements found.")
             return ""
         logger.info("Step 2: recognizing %d lines (batch %d)", len(crops), batch_size)
-        recognitions = recognize_batch(
+        recognitions = (self.recognize_fn or recognize_batch)(
             crops, beam_width=beam_width, batch_size=batch_size,
             model_path=self.recognizer_model_path, vocab_path=self.vocab_path,
         )
@@ -86,6 +93,70 @@ class KhmerOCRPipeline:
             logger.info("Step 3: saved to %s", output_path)
         return final_text
 
+    def process_pages(self, image_paths, output_dir: str | None = None,
+                      padding: int = 6, beam_width: int = 3, batch_size: int = 64,
+                      pages_per_batch: int = 4, queue_depth: int = 4) -> list[str]:
+        """Pipelined multi-page OCR (the serving path for documents).
+
+        A detection worker thread streams per-page crop lists through a
+        bounded queue while the main thread batch-recognizes them — so page
+        N+1's detection (brief device forward + heavy host CV postprocess)
+        overlaps page N's TPU decode instead of starving it (SURVEY §7
+        hard-part 6; the reference processes pages strictly sequentially,
+        ocr_engine.py:37-102). Crops from up to ``pages_per_batch`` pages go
+        through ONE recognize_batch call so width bucketing and grouped
+        dispatch amortize across pages. Returns the per-page texts; with
+        ``output_dir`` each page also writes ``<stem>.txt``.
+        """
+        import queue as queue_mod
+        import threading
+
+        paths = [str(p) for p in image_paths]
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, queue_depth))
+        worker_err: list[BaseException] = []
+
+        def detect_worker():
+            try:
+                for i, path in enumerate(paths):
+                    q.put((i, self._detect_crops(path, padding)))
+            except BaseException as e:  # surfaced in the main thread
+                worker_err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=detect_worker, name="khmer-ocr-detect", daemon=True)
+        t.start()
+        texts: list[str] = [""] * len(paths)
+        pending: list[tuple[int, list]] = []
+
+        def flush():
+            flat = [c for _, crops in pending for c in crops]
+            if flat:
+                rec = (self.recognize_fn or recognize_batch)(
+                    flat, beam_width=beam_width, batch_size=batch_size,
+                    model_path=self.recognizer_model_path, vocab_path=self.vocab_path,
+                )
+                off = 0
+                for i, crops in pending:
+                    texts[i] = "\n".join(rec[off : off + len(crops)])
+                    off += len(crops)
+            pending.clear()
+
+        while (item := q.get()) is not None:
+            pending.append(item)
+            if len(pending) >= pages_per_batch:
+                flush()
+        flush()
+        t.join()
+        if worker_err:
+            raise worker_err[0]
+        if output_dir is not None:
+            out = Path(output_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            for path, text in zip(paths, texts):
+                (out / f"{Path(path).stem}.txt").write_text(text, encoding="utf-8")
+        return texts
+
 
 def main(argv=None) -> int:
     """`khmer-ocr-pipeline` CLI — flags mirror the reference's `netra_ocr` console
@@ -96,7 +167,9 @@ def main(argv=None) -> int:
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s", datefmt="%H:%M:%S")
     p = argparse.ArgumentParser(description="Khmer OCR holistic pipeline (TPU)")
-    p.add_argument("--image", type=str, required=True)
+    p.add_argument("--image", type=str, required=True,
+                   help="Page image, or a DIRECTORY of pages (pipelined multi-page mode: "
+                        "detection of page N+1 overlaps recognition of page N)")
     p.add_argument("--engine", type=str, choices=["custom", "surya"], default="surya")
     p.add_argument("--output", type=str, default="ocr_result.txt")
     p.add_argument("--padding", type=int, default=6)
@@ -112,10 +185,20 @@ def main(argv=None) -> int:
             engine=args.engine, layout_model_dir=args.layout_model,
             recognizer_model_path=args.recognizer, vocab_path=args.vocab,
         )
-        pipeline.process_image(
-            image_path=args.image, output_path=args.output, save_debug=args.debug,
-            padding=args.padding, beam_width=args.beam, batch_size=args.batch_size,
-        )
+        if Path(args.image).is_dir():
+            exts = {".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp"}
+            pages = sorted(p for p in Path(args.image).iterdir() if p.suffix.lower() in exts)
+            if not pages:
+                raise FileNotFoundError(f"No page images in directory {args.image}")
+            pipeline.process_pages(
+                pages, output_dir=args.output, padding=args.padding,
+                beam_width=args.beam, batch_size=args.batch_size,
+            )
+        else:
+            pipeline.process_image(
+                image_path=args.image, output_path=args.output, save_debug=args.debug,
+                padding=args.padding, beam_width=args.beam, batch_size=args.batch_size,
+            )
         return 0
     except Exception as e:
         print(f"\nPipeline Error: {e}", file=sys.stderr)

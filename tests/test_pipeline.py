@@ -1,5 +1,7 @@
 """Pipeline tests: block assignment, cropping, PDF generation, engine wiring."""
 
+from pathlib import Path
+
 import numpy as np
 from PIL import Image
 
@@ -83,6 +85,7 @@ def test_engine_custom_wiring(monkeypatch, tmp_path):
     pipe.text_ids = set(eng.LayoutConfig().text_classes)
     pipe.recognizer_model_path = None
     pipe.vocab_path = None
+    pipe.recognize_fn = None
     pipe.detector = FakeDetector()
 
     out_file = tmp_path / "res.txt"
@@ -92,3 +95,81 @@ def test_engine_custom_wiring(monkeypatch, tmp_path):
     # first crop = header (y=20) padded by 6: (200-10+12, 50-20+12)
     assert captured["sizes"][0] == (202, 42)
     assert out_file.read_text() == "line0\nline1"
+
+
+def test_process_pages_pipelined(monkeypatch, tmp_path):
+    """Multi-page mode: detection worker streams pages through the queue,
+    crops recognize in cross-page batches, per-page texts come back in
+    order and write per-page files."""
+    import threading
+
+    from khmer_ocr_tpu.pipeline import engine as eng
+
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"page{i}.png"
+        Image.fromarray(np.full((60, 80), 255, np.uint8)).save(p)
+        paths.append(p)
+
+    detect_thread_names = []
+    batch_calls = []
+
+    def fake_recognize_batch(crops, beam_width, batch_size, model_path=None, vocab_path=None):
+        batch_calls.append(len(crops))
+        # crops arrive page-major: name lines by running index
+        base = sum(batch_calls[:-1])
+        return [f"L{base + i}" for i in range(len(crops))]
+
+    monkeypatch.setattr(eng, "recognize_batch", fake_recognize_batch)
+    pipe = eng.KhmerOCRPipeline.__new__(eng.KhmerOCRPipeline)
+    pipe.engine = "custom"
+    pipe.text_ids = set(eng.LayoutConfig().text_classes)
+    pipe.recognizer_model_path = None
+    pipe.vocab_path = None
+    pipe.recognize_fn = None
+
+    def fake_detect(path, padding):
+        detect_thread_names.append(threading.current_thread().name)
+        idx = int(Path(path).stem[4:])
+        # page i has i+1 lines
+        return [Image.fromarray(np.full((20, 40), 255, np.uint8))] * (idx + 1)
+
+    pipe._detect_crops = fake_detect
+
+    texts = pipe.process_pages(paths, output_dir=str(tmp_path / "out"),
+                               pages_per_batch=2, beam_width=3)
+    assert len(texts) == 5
+    # page i has i+1 lines; line numbering is global and page-major
+    assert texts[0] == "L0"
+    assert texts[1] == "L1\nL2"
+    assert texts[4].count("\n") == 4
+    # detection ran on the worker thread, not the main thread
+    assert all(n == "khmer-ocr-detect" for n in detect_thread_names)
+    # pages_per_batch=2 -> batches of (1+2), (3+4), (5) lines
+    assert batch_calls == [3, 7, 5]
+    for i in range(5):
+        assert (tmp_path / "out" / f"page{i}.txt").read_text() == texts[i]
+
+
+def test_process_pages_worker_error(monkeypatch, tmp_path):
+    """A detection failure in the worker surfaces in the caller."""
+    import pytest
+
+    from khmer_ocr_tpu.pipeline import engine as eng
+
+    p = tmp_path / "page0.png"
+    Image.fromarray(np.full((60, 80), 255, np.uint8)).save(p)
+    monkeypatch.setattr(eng, "recognize_batch", lambda *a, **k: [])
+    pipe = eng.KhmerOCRPipeline.__new__(eng.KhmerOCRPipeline)
+    pipe.engine = "custom"
+    pipe.text_ids = set()
+    pipe.recognizer_model_path = None
+    pipe.vocab_path = None
+    pipe.recognize_fn = None
+
+    def boom(path, padding):
+        raise RuntimeError("detector exploded")
+
+    pipe._detect_crops = boom
+    with pytest.raises(RuntimeError, match="detector exploded"):
+        pipe.process_pages([p])
