@@ -17,7 +17,13 @@ from ..tokenizer import Tokenizer
 from .checkpoint import save_checkpoint
 from .data import LineDataset
 from .schedule import staged_cyclic_lr
-from .step import init_train_state, make_eval_logits_fn, make_optimizer, make_train_step
+from .step import (
+    init_train_state,
+    make_eval_logits_fn,
+    make_optimizer,
+    make_train_multi_step,
+    make_train_step,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -41,6 +47,7 @@ def train(
     num_epochs: int | None = None,
     resume_from: str | Path | None = None,
     metrics_path: str | Path | None = None,
+    dispatch_group: int = 8,
 ):
     """Train the configured model; returns the final TrainState.
 
@@ -48,6 +55,14 @@ def train(
     stats, optimizer state, and the global step, then continues from the next
     epoch. (The reference has no resume at all: restart = cold start,
     SURVEY.md §5.)
+
+    ``dispatch_group``: K same-shape batches dispatch as ONE scanned device
+    program (train/step.py::make_train_multi_step) — on the axon tunnel every
+    program call costs ~30 ms of host dispatch, which at batch 32 bounds real
+    training ~6x below the device step rate. Grouping is semantically identical
+    to K single dispatches (same per-step rng fold and lr; bitwise up to XLA
+    fusion-order rounding). 1 disables; forced to 1 under ``mesh`` (stacked
+    batches would need a shifted shard axis).
     """
     config = config or OCRConfig()
     tcfg, mcfg = config.train, config.model
@@ -105,6 +120,14 @@ def train(
 
     enable_compilation_cache()
 
+    if mesh is not None:
+        dispatch_group = 1  # stacked batches would need a shifted shard axis
+    multi_step = (
+        make_train_multi_step(mcfg, optimizer, precision=config.runtime.matmul_precision,
+                              chunk_geom=chunk_geom, augment_prob=aug_prob)
+        if dispatch_group > 1 else None
+    )
+
     np_rng = np.random.default_rng(tcfg.seed)
     ckpt_dir = Path(checkpoint_dir)
     total_epochs = num_epochs or tcfg.num_epochs
@@ -115,15 +138,66 @@ def train(
                     epoch, total_epochs, sample_size, tcfg.batch_size)
         epoch_loss, epoch_batches = 0.0, 0
         pending_losses: list = []
+        last_bd = None
+        next_log, next_eye = log_every, eye_test_every
         t0 = time.time()
         ep_t0 = t0
-        for bidx, batch in enumerate(
-            dataset.epoch_batches(
-                tcfg.batch_size, np_rng, sample_size=sample_size,
-                # labels carry <sos>+<eos>; the teacher-forcing input (len-1)
-                # must fit the decoder's positional embedding
-                max_label_len=min(tcfg.max_label_len, mcfg.decode_max_len + 1),
-            )
+        groups: dict = {}  # shape_key -> list[Batch] awaiting a full dispatch group
+
+        def dispatch_single(batch):
+            nonlocal state, step, last_bd
+            bd = shard_batch(batch.as_dict())
+            state, metrics = train_step(state, bd, rng, schedule(step))
+            step += 1
+            last_bd = bd
+            pending_losses.append(metrics["loss"])
+
+        def dispatch_grouped(batches):
+            nonlocal state, step, last_bd
+            stacked = {
+                k: np.stack([b.as_dict()[k] for b in batches])
+                for k in batches[0].as_dict()
+            }
+            lrs = np.asarray([schedule(step + i) for i in range(len(batches))], np.float32)
+            state, metrics = multi_step(state, stacked, rng, lrs)
+            step += len(batches)
+            last_bd = batches[-1].as_dict()
+            pending_losses.append(metrics["loss"])
+
+        since_log = 0
+
+        def after_dispatch(n: int):
+            """Log / eye-test bookkeeping keyed on DISPATCHED batch count."""
+            nonlocal epoch_batches, epoch_loss, next_log, next_eye, t0, since_log
+            epoch_batches += n
+            since_log += n
+            if epoch_batches >= next_log:
+                # metrics stay ON DEVICE per step — a float() per step would
+                # block the dispatch pipeline on a host<->device round-trip
+                # (round-2: per-step sync halved real training throughput);
+                # losses drain in bulk at log points and epoch end
+                drained = np.concatenate([np.atleast_1d(np.asarray(l)) for l in pending_losses])
+                pending_losses.clear()
+                epoch_loss += float(drained.sum())
+                logger.info(
+                    "epoch %d batch %d loss %.4f (%.1f lines/s)",
+                    epoch, epoch_batches, float(drained[-min(log_every, len(drained)):].mean()),
+                    since_log * tcfg.batch_size / (time.time() - t0),
+                )
+                next_log += log_every
+                since_log = 0
+                t0 = time.time()
+            if epoch_batches >= next_eye and last_bd is not None:
+                logits = eval_logits(state.params, state.batch_stats, last_bd)
+                true, pred = _eye_test(tokenizer, logits, last_bd)
+                logger.info("eye test | TRUE: %s | PRED: %s", true, pred)
+                next_eye += eye_test_every
+
+        for batch in dataset.epoch_batches(
+            tcfg.batch_size, np_rng, sample_size=sample_size,
+            # labels carry <sos>+<eos>; the teacher-forcing input (len-1)
+            # must fit the decoder's positional embedding
+            max_label_len=min(tcfg.max_label_len, mcfg.decode_max_len + 1),
         ):
             payload = batch.lines if batch.lines is not None else batch.chunks
             shape_key = (payload.shape, batch.labels.shape)
@@ -131,30 +205,21 @@ def train(
                 compiled_shapes.add(shape_key)
                 logger.info("compiling train step for input=%s labels=%s",
                             payload.shape, batch.labels.shape)
-            bd = shard_batch(batch.as_dict())
-            state, metrics = train_step(state, bd, jax.random.fold_in(rng, step), schedule(step))
-            step += 1
-            # metrics stay ON DEVICE per step — a float() here would block the
-            # dispatch pipeline on a ~10 ms host<->device round-trip every step
-            # (round-2: per-step sync halved real training throughput); losses
-            # drain in bulk at log points and epoch end
-            pending_losses.append(metrics["loss"])
-            epoch_batches += 1
-            if (bidx + 1) % log_every == 0:
-                drained = [float(l) for l in pending_losses]
-                pending_losses.clear()
-                epoch_loss += sum(drained)
-                logger.info(
-                    "epoch %d batch %d loss %.4f (%.1f lines/s)",
-                    epoch, bidx + 1, sum(drained[-log_every:]) / log_every,
-                    log_every * tcfg.batch_size / (time.time() - t0),
-                )
-                t0 = time.time()
-            if (bidx + 1) % eye_test_every == 0:
-                logits = eval_logits(state.params, state.batch_stats, bd)
-                true, pred = _eye_test(tokenizer, logits, bd)
-                logger.info("eye test | TRUE: %s | PRED: %s", true, pred)
-        epoch_loss += sum(float(l) for l in pending_losses)
+            if multi_step is None:
+                dispatch_single(batch)
+                after_dispatch(1)
+                continue
+            pending = groups.setdefault(shape_key, [])
+            pending.append(batch)
+            if len(pending) == dispatch_group:
+                dispatch_grouped(pending)
+                groups[shape_key] = []
+                after_dispatch(dispatch_group)
+        for pending in groups.values():  # epoch-end flush: partial groups go singly
+            for batch in pending:
+                dispatch_single(batch)
+                after_dispatch(1)
+        epoch_loss += sum(float(np.asarray(l).sum()) for l in pending_losses)
         pending_losses.clear()
         logger.info("epoch %d done: mean loss %.4f over %d batches",
                     epoch, epoch_loss / max(epoch_batches, 1), epoch_batches)

@@ -147,3 +147,91 @@ def test_checkpoint_roundtrip(tmp_path):
     assert cfg2 == TINY
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_step_matches_single_steps():
+    """K-batch grouped dispatch (make_train_multi_step) must be semantically
+    IDENTICAL to K sequential single-step dispatches: same fold_in(rng, step)
+    stream, same per-step lr, same update/batch order, same state threading.
+
+    Two phases, because bitwise the scan body and the standalone program
+    compile to different XLA fusions (~1 ulp/step of rounding skew), and
+    Adam's step-1 update is g/(|g|+eps) — a SIGN function near g=0, so any
+    param-level tolerance is ill-conditioned under Adam (a 1-ulp gradient
+    difference can flip a whole +/-lr):
+      1. identity optimizer (pure -lr*g SGD): well-conditioned, so params
+         must match tightly after K steps — this pins the plumbing exactly.
+      2. Adam (the real optimizer): the loss trajectory must match at 1e-5 —
+         losses at steps 2..K are computed THROUGH the step-1/2 params, so a
+         wrong rng stream, lr order, or state threading shows up here."""
+    import optax
+
+    from khmer_ocr_tpu.train.step import make_train_multi_step
+
+    rng = np.random.RandomState(7)
+    base = jax.random.PRNGKey(42)
+    K = 3
+    batches = [_tiny_batch(rng) for _ in range(K)]
+    lrs = np.asarray([1e-3, 5e-4, 2e-4], np.float32)
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+
+    def run_pair(optimizer):
+        single = make_train_step(TINY, optimizer, donate=False)
+        s1 = init_train_state(jax.random.PRNGKey(5), TINY, optimizer)
+        losses1 = []
+        for b, lr in zip(batches, lrs):
+            s1, m = single(s1, b, base, lr)
+            losses1.append(float(m["loss"]))
+        multi = make_train_multi_step(TINY, optimizer, donate=False)
+        s2 = init_train_state(jax.random.PRNGKey(5), TINY, optimizer)
+        s2, m2 = multi(s2, stacked, base, jnp.asarray(lrs))
+        assert int(s1.step) == int(s2.step) == K
+        return s1, s2, losses1, m2
+
+    # phase 1: exact plumbing under a well-conditioned update rule
+    s1, s2, losses1, m2 = run_pair(optax.identity())
+    np.testing.assert_allclose(np.asarray(m2["loss"]), losses1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+    # phase 2: the real Adam optimizer — loss trajectory compounds through the
+    # updated params, so it catches any semantic divergence
+    _, _, losses1, m2 = run_pair(make_optimizer())
+    np.testing.assert_allclose(np.asarray(m2["loss"]), losses1, rtol=1e-5)
+
+
+def test_train_loop_grouped_dispatch(tmp_path):
+    """The full train() loop with dispatch_group>1 runs, counts every batch
+    exactly once, and (single-shape workload, so dispatch order is identical)
+    matches a dispatch_group=1 run's loss trajectory."""
+    import dataclasses
+
+    from khmer_ocr_tpu.config import OCRConfig
+    from khmer_ocr_tpu.train.data import LineDataset
+    from khmer_ocr_tpu.train.loop import train
+
+    rng = np.random.RandomState(3)
+    # one width -> one (chunk, label) shape key -> grouped dispatch preserves
+    # the single-dispatch batch order exactly
+    samples = [(rng.randint(0, 255, (48, 60), np.uint8), "កខគ") for _ in range(24)]
+    cfg = OCRConfig()
+    cfg = cfg.replace(
+        model=TINY,
+        train=dataclasses.replace(cfg.train, batch_size=4, epoch_sample_size=24,
+                                  num_epochs=1, checkpoint_every_epochs=100),
+    )
+
+    def run(group, mdir):
+        ds = LineDataset(samples, train_cfg=cfg.train, device_augment=True)
+        mpath = tmp_path / f"metrics_{group}.jsonl"
+        state = train(ds, cfg, checkpoint_dir=tmp_path / mdir, dispatch_group=group,
+                      metrics_path=mpath, log_every=2, eye_test_every=4)
+        import json
+        rec = json.loads(mpath.read_text().strip().splitlines()[-1])
+        return state, rec
+
+    s_grp, rec_grp = run(2, "ck_a")
+    s_one, rec_one = run(1, "ck_b")
+    assert rec_grp["batches"] == rec_one["batches"] == 6
+    assert int(s_grp.step) == int(s_one.step) == 6
+    assert rec_grp["mean_loss"] == pytest.approx(rec_one["mean_loss"], rel=1e-4)
