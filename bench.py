@@ -114,9 +114,11 @@ def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 
 
     predictor = Predictor(params=params, batch_stats=stats, model_cfg=cfg, config=OCRConfig(),
                           mesh=mesh)
-    # full warm pass: every (chunk-bucket, batch-bucket) shape this workload
-    # hits compiles once here (and lands in the persistent cache)
-    predictor.predict_batch(images, beam_width=beam_width, batch_size=256, max_len=STEPS)
+    # two full warm passes: every (chunk-bucket, batch-bucket) shape this
+    # workload hits compiles on the first, and every group COMBO — which only
+    # compiles on its second sighting — on the second (persistent-cached)
+    for _ in range(2):
+        predictor.predict_batch(images, beam_width=beam_width, batch_size=256, max_len=STEPS)
 
     # median of 3 passes: the axon-tunneled host/transfer path is noisy
     # (+-30% pass to pass); a single pass under-/over-reports by the draw
@@ -211,7 +213,11 @@ def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3):
 
     pipe._detect_crops = detect_crops
 
-    pipe.process_pages(pages[:2], beam_width=beam_width, batch_size=64)  # warm/compile
+    # two full warm passes over the REAL page set (the e2e methodology): the
+    # first compiles every single-bucket program the workload hits, the second
+    # the group combos (a combo only compiles once it repeats)
+    for _ in range(2):
+        pipe.process_pages(pages, beam_width=beam_width, batch_size=64)
     n_lines = sum(len(b) for b in boxes_per_page)
     t0 = time.perf_counter()
     texts = pipe.process_pages(pages, beam_width=beam_width, batch_size=64)

@@ -26,6 +26,10 @@ CLASS_COLORS = {
 class LayoutConfig:
     num_labels: int = 12
     image_size: int = 512
+    # False (default): maps cross device->host as ONE packed uint8 array
+    # (class ids exact, heatmap quantized to 1/255) — the tunnel transfer
+    # otherwise dominates per-page latency. True: bit-exact int32 + f32 maps.
+    exact_maps: bool = False
 
     # contour scoring
     score_threshold: float = 0.2  # mean heatmap confidence per contour

@@ -38,11 +38,19 @@ class LayoutInference:
             self.params, self.seg_cfg = load_hf_checkpoint(model_dir)
 
     def predict_maps(self, image_source):
-        """Returns (PIL image, class map (H, W) int, heatmap (H, W) float).
+        """Returns (PIL image, class map (H, W) int32, heatmap (H, W) float32
+        in [0, 1]).
 
         Device logits upsample to a 256-rounded size bucket (one jit per bucket,
         not per exact page size); the final exact-size resize of the two small
         maps happens on host (nearest for classes, linear for the heatmap).
+
+        By default the maps come back PACKED as one (2, H, W) uint8 transfer
+        (class ids exact, heatmap quantized to 1/255 — see
+        segformer.predict_maps): the axon-tunneled device->host hop dominates
+        page latency otherwise (measured 451 ms -> 206 ms per A4 page).
+        ``LayoutConfig(exact_maps=True)`` restores the bit-exact int32+f32
+        return.
         """
         import cv2
         import jax.numpy as jnp
@@ -50,10 +58,16 @@ class LayoutInference:
         image, pixels, (w, h) = prepare_image(image_source, self.cfg.image_size)
         hb = ((h + 255) // 256) * 256
         wb = ((w + 255) // 256) * 256
-        fn = _jit_predict(self.seg_cfg, (hb, wb))
-        class_map, heatmap = fn(self.params, jnp.asarray(pixels))
-        cm = np.asarray(class_map[0], dtype=np.int32)
-        hm = np.asarray(heatmap[0], dtype=np.float32)
+        compact = not getattr(self.cfg, "exact_maps", False)
+        fn = _jit_predict(self.seg_cfg, (hb, wb), compact)
+        if compact:
+            packed = np.asarray(fn(self.params, jnp.asarray(pixels))[0])  # one transfer
+            cm = packed[0].astype(np.int32)
+            hm = packed[1].astype(np.float32) * (1.0 / 255.0)
+        else:
+            class_map, heatmap = fn(self.params, jnp.asarray(pixels))
+            cm = np.asarray(class_map[0], dtype=np.int32)
+            hm = np.asarray(heatmap[0], dtype=np.float32)
         if (hb, wb) != (h, w):
             cm = cv2.resize(cm, (w, h), interpolation=cv2.INTER_NEAREST)
             hm = cv2.resize(hm, (w, h), interpolation=cv2.INTER_LINEAR)
@@ -98,10 +112,11 @@ class LayoutInference:
 _JIT_CACHE: dict = {}
 
 
-def _jit_predict(seg_cfg: SegFormerConfig, out_hw: tuple[int, int]):
+def _jit_predict(seg_cfg: SegFormerConfig, out_hw: tuple[int, int], compact: bool = False):
     import jax
 
-    key = (seg_cfg, out_hw)
+    key = (seg_cfg, out_hw, compact)
     if key not in _JIT_CACHE:
-        _JIT_CACHE[key] = jax.jit(partial(predict_maps, cfg=seg_cfg, out_hw=out_hw))
+        _JIT_CACHE[key] = jax.jit(partial(predict_maps, cfg=seg_cfg, out_hw=out_hw,
+                                          compact=compact))
     return _JIT_CACHE[key]

@@ -138,9 +138,14 @@ class Predictor:
         self.mesh = mesh
         # shape combinations already compiled by grouped dispatch (see
         # _dispatch_group): canonical keys of sorted member shapes; failed
-        # combos are blacklisted so a compile-OOM is paid ONCE, not per call
+        # combos are blacklisted so a compile-OOM is paid ONCE, not per call.
+        # A combo only compiles on its SECOND sighting (_group_combo_seen) —
+        # combined beam programs cost tens of seconds to compile, so a combo a
+        # workload never repeats (e.g. one odd page mix) runs per-batch through
+        # the bounded, reusable single-bucket programs instead.
         self._group_combos: set = set()
         self._group_combos_failed: set = set()
+        self._group_combo_seen: dict = {}
         if mesh is not None:
             from ..parallel.mesh import replicate
 
@@ -325,9 +330,11 @@ class Predictor:
                 realize = _realize_members([self._dispatch_prepared(group[0], beam_width, max_len)])
             else:
                 key = (tuple(self._padded_shape(b) for b in group), beam_width, max_len)
+                seen = self._group_combo_seen.get(key, 0)
+                self._group_combo_seen[key] = seen + 1
                 if key not in self._group_combos_failed and (
                     key in self._group_combos
-                    or len(self._group_combos) < rt.max_group_combos
+                    or (seen >= 1 and len(self._group_combos) < rt.max_group_combos)
                 ):
                     self._group_combos.add(key)
                     try:
@@ -387,6 +394,10 @@ class Predictor:
         form compile once here, against the persistent cache. Beam compiles
         take tens of seconds per shape — warm the buckets your workload hits
         (default: the first four, covering lines up to ~8 chunks), not all 14.
+
+        Runs each workload TWICE: a group combo only compiles on its second
+        sighting (see _group_combo_seen), so the first pass seeds the combo and
+        compiles the per-bucket programs, the second compiles the combined one.
         """
         rt = self.config.runtime
         bsz = batch_size or max(rt.batch_buckets)
@@ -398,7 +409,8 @@ class Predictor:
             w = (nb - 1) * stride + cw
             imgs += [np.full((h, w), 255, np.uint8)] * bsz
         for bw in beam_widths:
-            self.predict_batch(imgs, beam_width=bw, batch_size=bsz)
+            for _ in range(2):
+                self.predict_batch(imgs, beam_width=bw, batch_size=bsz)
 
 
 def _round_up(n: int, buckets: tuple[int, ...]) -> int:

@@ -183,3 +183,12 @@ def test_layout_inference_size_buckets(oracle):
     img, cm, hm = det.predict_maps(page)
     assert cm.shape == (333, 205) and hm.shape == (333, 205)
     assert cm.dtype == np.int32 and 0.0 <= hm.max() <= 1.0001
+
+    # the default packed-uint8 transfer must match the exact int32+f32 path:
+    # class ids exactly, heatmap within its 1/255 quantization step
+    det_exact = LayoutInference(model_dir=None, params=params, seg_cfg=SegFormerConfig(),
+                                config=LayoutConfig(image_size=128, exact_maps=True))
+    _, cm_e, hm_e = det_exact.predict_maps(page)
+    assert cm_e.dtype == np.int32 and hm_e.dtype == np.float32
+    np.testing.assert_array_equal(cm, cm_e)
+    np.testing.assert_allclose(hm, hm_e, atol=0.5 / 255 + 1e-6)

@@ -72,16 +72,20 @@ def test_grouped_dispatch_canonical_and_bounded():
     # widths hitting buckets 1 / 2 / 4; batch_size=1 so every image is its own
     # bucket batch and groups form in arrival order
     w1, w2, w4 = 60, 150, 400
+    # FIRST sighting of a combo must NOT compile a combined program (per-batch
+    # fallback): combined compiles are only worth paying for repeating combos
     a = p.predict_batch([_img(w1, 1), _img(w2, 2)], beam_width=1, batch_size=1)
-    assert len(p._group_combos) == 1
-    only_key = next(iter(p._group_combos))
-    # same shapes, opposite arrival order -> canonical sort maps to the SAME key
+    assert len(p._group_combos) == 0 and len(p._group_combo_seen) == 1
+    # same shapes, opposite arrival order -> canonical sort maps to the SAME
+    # key; second sighting compiles it
     b = p.predict_batch([_img(w2, 2), _img(w1, 1)], beam_width=1, batch_size=1)
-    assert p._group_combos == {only_key}
+    assert len(p._group_combos) == 1 and len(p._group_combo_seen) == 1
+    only_key = next(iter(p._group_combos))
     assert a[0] == b[1] and a[1] == b[0]
     # a NEW combination with the budget exhausted must not mint a key (falls
     # back to per-batch dispatch) and must still return correct results
-    c = p.predict_batch([_img(w4, 3), _img(w1, 1)], beam_width=1, batch_size=1)
+    for _ in range(2):  # twice: past the sighting threshold, into the budget gate
+        c = p.predict_batch([_img(w4, 3), _img(w1, 1)], beam_width=1, batch_size=1)
     assert p._group_combos == {only_key}
     assert c[1] == a[0]
 
@@ -105,8 +109,10 @@ def test_group_compile_failure_blacklisted(monkeypatch):
 
     monkeypatch.setattr(Predictor, "_dispatch_group_packed", boom)
     imgs = [_img(60, 1), _img(150, 2)]
-    a = p.predict_batch(imgs, beam_width=1, batch_size=1)
+    a = p.predict_batch(imgs, beam_width=1, batch_size=1)  # 1st sighting: per-batch, no attempt
+    assert calls["packed"] == 0 and len(p._group_combos_failed) == 0
+    a2 = p.predict_batch(imgs, beam_width=1, batch_size=1)  # 2nd sighting: attempt -> fail
     assert calls["packed"] == 1 and len(p._group_combos_failed) == 1
     b = p.predict_batch(imgs, beam_width=1, batch_size=1)
     assert calls["packed"] == 1  # blacklisted: no second attempt
-    assert a == b and all(isinstance(t, str) for t in a)
+    assert a == a2 == b and all(isinstance(t, str) for t in a)
