@@ -46,20 +46,27 @@ _PREC = jax.lax.Precision.DEFAULT
 
 import os as _os
 
-# Estimated-usage ceiling under the ~16 MB/core VMEM; overridable for tile
-# experiments. The estimator is conservative (Mosaic accepted the 15.2 MB-
-# estimated beam w=64 tiling that unlocks the 2.3x step win; 12 MB left that
-# stage on the XLA fallback).
-VMEM_BUDGET = int(_os.environ.get("KHMER_OCR_FUSED_VMEM", int(15.5 * 1024 * 1024)))
+# Estimated-usage ceiling steering tile CHOICE. v5e scoped VMEM measures
+# ~124 MB usable per kernel (examples/probe_vmem.py — the "16 MB" folk figure
+# is only Mosaic's DEFAULT limit), so the budget reflects the measured tile
+# optimum, not a hardware wall: the round-3 sweep put It=16 (40 MB class)
+# ahead of It=8 (473 -> 448 us/step beam-3) while It=32/64 REGRESS (477/569 —
+# the kernel is window-DMA-bound, not MXU-row-bound; bigger tiles just
+# lengthen the per-grid-step DMA chains).
+VMEM_BUDGET = int(_os.environ.get("KHMER_OCR_FUSED_VMEM", 40 * 1024 * 1024))
 
 # Per-kernel VMEM ceiling passed to Mosaic (CompilerParams.vmem_limit_bytes).
-# The DEFAULT Mosaic limit is ~16 MB; a kernel whose real usage lands a few
-# hundred KB over (layout assignment differs between standalone and combined
+# The DEFAULT Mosaic limit is ~16 MB and real usage can land over the
+# estimate (layout assignment differs between standalone and combined
 # programs — observed 16.44 MB in a packed multi-decode program for a kernel
-# that fits standalone) fails compilation outright. v5e has 128 MB of VMEM;
-# raising the LIMIT to 24 MB gives marginal layouts room while VMEM_BUDGET
-# still steers tile CHOICE to the validated envelope.
-VMEM_LIMIT = int(_os.environ.get("KHMER_OCR_VMEM_LIMIT", 24 * 1024 * 1024))
+# that fits standalone). The chip takes ~124 MB; 64 MB gives the It=16
+# envelope's ~26 MB real footprint ample layout slack.
+VMEM_LIMIT = int(_os.environ.get("KHMER_OCR_VMEM_LIMIT", 64 * 1024 * 1024))
+
+# Image-tile cap on the TPU (strict) path. 16 is the measured optimum AND
+# hardware-validated (beam-3 token parity vs the XLA step at B=64/128,
+# Tm=128/256 on v5e); the override exists for tile experiments.
+_IT_CAP = int(_os.environ.get("KHMER_OCR_FUSED_IT_CAP", 16))
 
 # weight operand order (all 2D; vectors reshaped to (1, n) by the wrapper)
 _WEIGHT_FIELDS = (
@@ -132,14 +139,14 @@ def choose_tile(n_images: int, k: int, w: int, tm: int, d: int, f: int, h: int, 
 
     ``strict_tiling`` (the TPU path) requires the row tile It*K to be
     sublane-aligned (divisible by 8) — Mosaic's block-shape rule — and caps
-    It at 8: Mosaic's scoped-VMEM allocator is opaque enough that analytic
-    estimates mis-rank real usage (a 15.0 MB-estimated (w=32, Tm=256) tile
-    OOMed at 18.2 MB real while a 15.2 MB-estimated (w=64, Tm=128) one fit),
-    so the strict gate pins the hardware-validated envelope (see
-    `fused_step_available`) instead of trusting the estimate near the limit.
-    Interpreter runs (tests) drop the alignment requirement so tiny shapes
-    still exercise the kernel."""
-    cap = 8 if strict_tiling else 32
+    It at the measured optimum (16; see _IT_CAP): the round-3 v5e sweep shows
+    per-step time is non-monotonic in the tile (It 8/16/32/64 -> 473/448/477/
+    569 us beam-3) because the kernel is window-DMA-bound, so the gate pins
+    the best VALIDATED point rather than "largest that fits" (scoped VMEM
+    itself allows ~124 MB — examples/probe_vmem.py). Interpreter runs (tests)
+    drop the alignment requirement so tiny shapes still exercise the
+    kernel."""
+    cap = _IT_CAP if strict_tiling else 32
     for it in range(min(n_images, cap), 0, -1):
         if n_images % it:
             continue
