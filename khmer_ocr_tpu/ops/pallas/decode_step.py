@@ -68,6 +68,12 @@ VMEM_LIMIT = int(_os.environ.get("KHMER_OCR_VMEM_LIMIT", 64 * 1024 * 1024))
 # Tm=128/256 on v5e); the override exists for tile experiments.
 _IT_CAP = int(_os.environ.get("KHMER_OCR_FUSED_IT_CAP", 16))
 
+# Longest memory the kernel holds RESIDENT in VMEM ((It, Tm, D) k+v blocks,
+# double-buffered); beyond it the streaming online-softmax path takes over.
+# With the measured ~124 MB scoped VMEM the resident envelope extends past
+# the old 128 cap; the default stays at the value the tile sweep validated.
+_RESIDENT_TM = int(_os.environ.get("KHMER_OCR_RESIDENT_TM", 128))
+
 # weight operand order (all 2D; vectors reshaped to (1, n) by the wrapper)
 _WEIGHT_FIELDS = (
     "qkv_w", "qkv_b", "so_w", "so_b", "ln1_s", "ln1_b",
@@ -108,7 +114,7 @@ def _cross_chunk(tm: int) -> int | None:
 
 def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, h: int, itemsize: int) -> int:
     bt = it * k
-    if tm > 128:  # streaming cross: manual double-buffered (It, tc, D) scratch
+    if tm > _RESIDENT_TM:  # streaming cross: double-buffered (It, tc, D) scratch
         tc = _cross_chunk(tm) or tm
         mem_bytes = 2 * 2 * it * tc * d * itemsize  # not pipeline-doubled
         tm_live = tc
@@ -165,7 +171,7 @@ def fused_step_available(b_rows: int, k: int, w: int, tm: int, d: int, f: int,
         return False
     if w % 8:
         return False  # the 8-slot-aligned cache writeback needs w % 8 == 0
-    if tm > 128 and _cross_chunk(tm) is None:
+    if tm > _RESIDENT_TM and _cross_chunk(tm) is None:
         return False  # streaming cross needs an MXU-friendly chunk divisor
     if strict_tiling and (w > 64 or tm > 512):
         # hardware-validated envelope on v5e (it=8): (w<=64, Tm<=128) resident
@@ -437,7 +443,7 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
 
     cdt = x.dtype
     grid = (nt,)
-    tc = _cross_chunk(tm) if tm > 128 else None  # streaming cross beyond the resident envelope
+    tc = _cross_chunk(tm) if tm > _RESIDENT_TM else None  # streaming cross beyond the resident envelope
 
     if tc is None:
         mem_specs = [
