@@ -219,11 +219,17 @@ def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3):
     for _ in range(2):
         pipe.process_pages(pages, beam_width=beam_width, batch_size=64)
     n_lines = sum(len(b) for b in boxes_per_page)
-    t0 = time.perf_counter()
-    texts = pipe.process_pages(pages, beam_width=beam_width, batch_size=64)
-    dt = time.perf_counter() - t0
-    assert len(texts) == n_pages
-    return n_pages / dt, n_lines / dt
+    # median of 3: the CV postprocess + detection share the host core with
+    # dispatch, making single passes swing ~2x (observed 1.7-3.3 pages/s)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        texts = pipe.process_pages(pages, beam_width=beam_width, batch_size=64)
+        dt = time.perf_counter() - t0
+        assert len(texts) == n_pages
+        rates.append((n_pages / dt, n_lines / dt))
+    rates.sort()
+    return rates[1]
 
 
 def bench_train(cfg, batch_size: int = 32, n_chunks: int = 4, label_len: int = 48, mesh=None):
