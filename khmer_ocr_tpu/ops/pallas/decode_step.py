@@ -174,11 +174,12 @@ def fused_step_available(b_rows: int, k: int, w: int, tm: int, d: int, f: int,
     if tm > _RESIDENT_TM and _cross_chunk(tm) is None:
         return False  # streaming cross needs an MXU-friendly chunk divisor
     if strict_tiling and (w > 64 or tm > 512):
-        # hardware-validated envelope on v5e (it=8): (w<=64, Tm<=128) resident
-        # cross-attention compiles and wins 2.3x; 128 < Tm <= 512 streams the
-        # memory K/V through a double-buffered online-softmax loop (a resident
-        # (w=32, Tm=256) tile OOMed scoped VMEM at 18.2 MB). Wider windows /
-        # longer memories take the XLA step for that stage/bucket.
+        # hardware-validated envelope on v5e: (w<=64, Tm<=_RESIDENT_TM)
+        # resident cross-attention wins 3.5x vs the XLA step (264 vs 911
+        # us/step beam-3 at It=16 with sort-free selection); larger Tm up to
+        # 512 streams the memory K/V through a double-buffered online-softmax
+        # loop. Wider windows / longer memories take the XLA step for that
+        # stage/bucket.
         return False
     return choose_tile(b_rows // k, k, w, tm, d, f, num_heads, itemsize, strict_tiling) is not None
 
