@@ -101,6 +101,14 @@ class DecodeConfig:
     # "1" force-interpret off-TPU / None auto) — same snapshot semantics as
     # fused_mode, independent switch (ops/pallas/decode_loop.py).
     mega_mode: str | None = None
+    # In-kernel decode head (out-proj + log-softmax in the last fused layer
+    # kernel, KHMER_OCR_FUSED_HEAD). OPT-IN ("1"): measured on v5e at bench
+    # shapes it is PAR-to-slightly-slower than XLA's head ops (271 vs 259
+    # us/step beam-3, B=128 Tm=128) — the tiny dense+log_softmax were already
+    # overlapped by the while_loop, and the fused head lengthens the last
+    # kernel's critical path. Same lesson as the megakernel: fusion buys
+    # nothing once launches amortize. Kept for tile experiments.
+    head_mode: str | None = None
 
 
 @dataclass(frozen=True)

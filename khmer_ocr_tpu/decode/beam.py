@@ -121,7 +121,17 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
                             memory.dtype.itemsize, mode=dec_cfg.fused_mode)
         for w in windows
     }
-    params = pack_decode_params(params, fused=any(f for f, _ in _stage_fused.values()))
+    _any_fused = any(f for f, _ in _stage_fused.values())
+    # OPT-IN head fusion (out-proj + log-softmax inside the last layer's
+    # kernel): measured PAR-to-slightly-slower than XLA's head ops on v5e
+    # (config.py::DecodeConfig.head_mode), so auto stays off.
+    import os as _os
+
+    _head_env = (dec_cfg.head_mode if dec_cfg.head_mode is not None
+                 else _os.environ.get("KHMER_OCR_FUSED_HEAD"))
+    _use_head = _any_fused and _head_env == "1"
+    params = pack_decode_params(params, fused=_any_fused,
+                                head_dtype=memory.dtype if _use_head else None)
 
     tokens = jnp.full((b, k, max_len + 2), dec_cfg.pad_idx, dtype=jnp.int32)
     tokens = tokens.at[:, :, 0].set(dec_cfg.sos_idx)
@@ -145,10 +155,16 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
             cur = tokens[:, :, pos].reshape(b * k)
             if fused:
                 # the fused kernel takes image-local parents and patches slot
-                # `pos` to self in-kernel
-                logits, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w,
-                                            fused=True, interpret=interp,
-                                            lineage_local=lineage[:, :, :w].reshape(b * k, w))
+                # `pos` to self in-kernel; with head fusion the LAST layer's
+                # kernel also emits the log-probs directly (padded vocab
+                # columns arrive ~NEG_INF and can never win a top-k)
+                out, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w,
+                                         fused=True, interpret=interp, head=_use_head,
+                                         lineage_local=lineage[:, :, :w].reshape(b * k, w))
+                if _use_head:
+                    logp = out.reshape(b, k, -1)
+                else:
+                    logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1).reshape(b, k, -1)
             else:
                 # absolute parent pointers for this step's K/V gather: slot `pos`
                 # (just written by self) maps to self; earlier slots route via
@@ -159,7 +175,7 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
                 idx = jnp.where(jnp.arange(w)[None, :] == pos, own_abs, lin_abs)
                 logits, state = decode_step(params, state, cur, pos, model_cfg, ctx, window=w,
                                             lineage_idx=idx)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(b, k, -1)
 
             top_lp, top_ids = topk_iter(logp, k)  # (B, K, K) per-beam candidates
             cand = scores[:, :, None] + top_lp

@@ -186,6 +186,7 @@ class Predictor:
             # fused-policy env vars participate in the jit cache key
             fused_mode=os.environ.get("KHMER_OCR_FUSED_DECODE"),
             mega_mode=os.environ.get("KHMER_OCR_MEGA_DECODE"),
+            head_mode=os.environ.get("KHMER_OCR_FUSED_HEAD"),
         )
 
     def _padded_host(self, batch: PreparedBatch):

@@ -208,13 +208,19 @@ def init_decode_state(params, memory, memory_pad_mask, cfg: ModelConfig, lanes: 
     }
 
 
-def pack_decode_params(params, fused: bool = False):
+def pack_decode_params(params, fused: bool = False, head_dtype=None):
     """Derive a decode-optimized view of ``params`` ONCE before the decode loop:
     each decoder layer gains a packed (D, 3D) self-QKV projection (see
     layers.pack_step_params). Numerically identical; one MXU launch replaces
     three in every step of the KV-bound decode loop. With ``fused``, also
     precompute each layer's flat 2D weight operands for the fused Pallas step
-    (ops/pallas/decode_step.py) so no reshapes happen inside the loop."""
+    (ops/pallas/decode_step.py) so no reshapes happen inside the loop.
+
+    ``head_dtype`` (with ``fused``): also pack the decode head — the out
+    projection zero-padded to a lane-aligned vocab (Vp = ceil(V/128)*128) in
+    the cache dtype — so the final layer's kernel can emit log-probs directly
+    (decode_step.py head fusion; the padding columns are masked to ~NEG_INF
+    in-kernel)."""
     from .layers import pack_step_params
 
     dec = dict(params["dec"])
@@ -223,11 +229,21 @@ def pack_decode_params(params, fused: bool = False):
         from ..ops.pallas.decode_step import layer_weights
 
         dec["layers_fused"] = [layer_weights(lp) for lp in dec["layers"]]
+        if head_dtype is not None:
+            ow, ob = dec["out"]["w"], dec["out"]["b"]
+            d, v = ow.shape
+            vp = -(-v // 128) * 128
+            dec["head_fused"] = {
+                "w": jnp.zeros((d, vp), head_dtype).at[:, :v].set(ow.astype(head_dtype)),
+                "b": jnp.zeros((1, vp), jnp.float32).at[0, :v].set(ob.astype(jnp.float32)),
+                "v": v,
+            }
     return {**params, "dec": dec}
 
 
 def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx, window: int | None = None,
-                lineage_idx=None, fused: bool = False, lineage_local=None, interpret: bool = False):
+                lineage_idx=None, fused: bool = False, lineage_local=None, interpret: bool = False,
+                head: bool = False):
     """One decode step for a batch of lanes.
 
     tokens: (B,) int32 current input tokens; pos: scalar int32 position.
@@ -240,6 +256,10 @@ def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx, window: 
     ``pack_decode_params(fused=True)``; beam callers pass ``lineage_local``
     ((B, w) image-local parents, no pos-patching — the kernel patches) instead
     of ``lineage_idx``. Returns (logits (B, V), new_state).
+
+    ``head`` (requires ``fused`` + params packed with ``head_dtype``): the
+    LAST layer's kernel also computes the decode head; the return becomes
+    (logp (B, Vp) f32 with padded columns ~NEG_INF, new_state).
     """
     dec = params["dec"]
     x = dec["tok_emb"][tokens] + jax.lax.dynamic_index_in_dim(dec["pos_emb"], pos, axis=0, keepdims=False)
@@ -250,12 +270,26 @@ def decode_step(params, state, tokens, pos, cfg: ModelConfig, ctx: Ctx, window: 
 
         lanes = state["self_kv"][0][0].shape[0] // state["mem_kv"][0][0].shape[0]
         w = window if window is not None else state["self_kv"][0][0].shape[1]
-        for lw, (sk, sv), (mk, mv) in zip(dec["layers_fused"], state["self_kv"], state["mem_kv"]):
-            x, sk, sv = fused_decoder_layer_step(
+        n_layers = len(dec["layers_fused"])
+        logp = None
+        for li, (lw, (sk, sv), (mk, mv)) in enumerate(
+                zip(dec["layers_fused"], state["self_kv"], state["mem_kv"])):
+            head_op = None
+            if head and li == n_layers - 1:
+                hf = dec["head_fused"]
+                head_op = (hf["w"], hf["b"], hf["v"])
+            out = fused_decoder_layer_step(
                 lw, x, pos, sk, sv, mk, mv, state["mem_valid_f"], lineage_local,
                 num_heads=ctx.num_heads, window=w, lanes=lanes, interpret=interpret,
+                head=head_op,
             )
+            if head_op is not None:
+                x, sk, sv, logp = out
+            else:
+                x, sk, sv = out
             new_self.append((sk, sv))
+        if head:
+            return logp, {**state, "self_kv": new_self}
     else:
         for lp, (sk, sv), (mk, mv) in zip(dec["layers"], state["self_kv"], state["mem_kv"]):
             x, sk, sv = decoder_layer_step(lp, ctx, x, pos, sk, sv, mk, mv, state["mem_valid"], window,

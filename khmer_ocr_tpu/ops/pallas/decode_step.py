@@ -112,7 +112,8 @@ def _cross_chunk(tm: int) -> int | None:
     return None
 
 
-def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, h: int, itemsize: int) -> int:
+def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, h: int, itemsize: int,
+                   vp: int = 0) -> int:
     bt = it * k
     if tm > _RESIDENT_TM:  # streaming cross: double-buffered (It, tc, D) scratch
         tc = _cross_chunk(tm) or tm
@@ -136,11 +137,13 @@ def _vmem_estimate(it: int, k: int, w: int, tm: int, d: int, f: int, h: int, ite
         + 2 * bt * f * 4  # ffn hidden
         + 2 * bt * d * 4  # residual stream
     )
+    if vp:  # fused decode head: out-proj weights + double-buffered logp out + logits interm
+        interm += d * vp * itemsize + vp * 4 + 2 * bt * vp * 4 + 2 * bt * vp * 4
     return _weight_bytes(d, f, itemsize) + blocks + interm
 
 
 def choose_tile(n_images: int, k: int, w: int, tm: int, d: int, f: int, h: int, itemsize: int,
-                strict_tiling: bool = True):
+                strict_tiling: bool = True, vp: int = 0):
     """Largest image-tile It dividing n_images whose VMEM footprint fits.
 
     ``strict_tiling`` (the TPU path) requires the row tile It*K to be
@@ -158,7 +161,7 @@ def choose_tile(n_images: int, k: int, w: int, tm: int, d: int, f: int, h: int, 
             continue
         if strict_tiling and (it * k) % 8:
             continue
-        if _vmem_estimate(it, k, w, tm, d, f, h, itemsize) <= VMEM_BUDGET:
+        if _vmem_estimate(it, k, w, tm, d, f, h, itemsize, vp) <= VMEM_BUDGET:
             return it
     return None
 
@@ -185,11 +188,18 @@ def fused_step_available(b_rows: int, k: int, w: int, tm: int, d: int, f: int,
 
 
 def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
-                    has_lineage: bool, cdt, tc: int | None = None):
+                    has_lineage: bool, cdt, tc: int | None = None,
+                    head: tuple[int, int] | None = None):
     """``tc``: streaming cross-attention chunk size — when set, mem K/V arrive
     as HBM refs and the kernel streams (It, tc, D) chunks through a manually
     double-buffered online-softmax loop (flash-decoding style) instead of
-    holding (It, Tm, D) resident."""
+    holding (It, Tm, D) resident.
+
+    ``head``: (vp, v_real) — fuse the decode head into this (final) layer:
+    out-projection to a vp-padded vocab + masked log-softmax, emitting an
+    extra (Bt, vp) f32 log-prob output (padded columns ~NEG_INF). Removes the
+    remaining per-step XLA head ops (dense + log_softmax) from the beam loop
+    (docs/NEXT_STEPS.md round-4 item 1)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -215,13 +225,22 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
         else:
             lineage_ref = None
             wrefs = rest
-        n_tail = 3 + (4 if tc is not None else 0)  # outs + (kbuf, vbuf, ksem, vsem)
+        # tail after the 18 layer weights: [hw, hb] (head inputs) + outs
+        # (x, k, v [, logp]) + streaming scratch (kbuf, vbuf, ksem, vsem)
+        n_tail = (2 if head else 0) + 3 + (1 if head else 0) + (4 if tc is not None else 0)
         (qkv_w, qkv_b, so_w, so_b, ln1_s, ln1_b, cq_w, cq_b, co_w, co_b,
          ln2_s, ln2_b, l1_w, l1_b, l2_w, l2_b, ln3_s, ln3_b) = wrefs[:-n_tail]
-        tail = wrefs[len(wrefs) - n_tail:]
+        tail = list(wrefs[len(wrefs) - n_tail:])
+        if head:
+            hw_ref, hb_ref = tail[:2]
+            tail = tail[2:]
         x_out_ref, k_out_ref, v_out_ref = tail[:3]
+        tail = tail[3:]
+        if head:
+            logp_ref = tail[0]
+            tail = tail[1:]
         if tc is not None:
-            kbuf, vbuf, ksem, vsem = tail[3:]
+            kbuf, vbuf, ksem, vsem = tail
 
         pos = pos_ref[0]
         xin = x_ref[...]  # (Bt, D) cdt
@@ -380,6 +399,17 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
         x = ln(x + h2, ln3_s, ln3_b)
         x_out_ref[...] = x.astype(x_out_ref.dtype)
 
+        if head:
+            # ---- fused decode head: out-proj + masked log-softmax ----------
+            vp, v_real = head
+            lg = jnp.dot(x.astype(cdt), hw_ref[...], preferred_element_type=f32,
+                         precision=_PREC) + hb_ref[...].astype(f32)  # (Bt, Vp)
+            colv = jax.lax.broadcasted_iota(jnp.int32, (bt, vp), 1)
+            lg = jnp.where(colv < v_real, lg, NEG_INF)
+            m = jnp.max(lg, axis=1, keepdims=True)
+            lse = jnp.log(jnp.sum(jnp.exp(lg - m), axis=1, keepdims=True)) + m
+            logp_ref[...] = lg - lse
+
     return kernel
 
 
@@ -416,7 +446,7 @@ def should_use_fused(b_rows: int, lanes: int, max_window: int, tm: int, d: int, 
 
 def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_valid_f,
                              lineage=None, *, num_heads: int, window: int, lanes: int = 1,
-                             interpret: bool = False):
+                             interpret: bool = False, head=None):
     """One fused decoder-layer decode step.
 
     weights: dict from `layer_weights`. x: (B, D) layer input at position
@@ -424,7 +454,10 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
     returned updated at ``pos``. mem_k/mem_v: (B/lanes, Tm, D) per-image
     memory projections; mem_valid_f: (B/lanes, Tm) float 1/0 validity.
     lineage: (B, window) int32 image-local beam parents (None for greedy).
-    Returns (x_out, self_k, self_v).
+    ``head``: (out_w (D, Vp) in x.dtype, out_b (1, Vp) f32, v_real) — fuse the
+    decode head (out-proj + masked log-softmax over the first v_real columns)
+    into this final-layer kernel. Returns (x_out, self_k, self_v) — plus
+    logp (B, Vp) f32 when ``head`` is given.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -436,7 +469,9 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
     w = min(window, self_k.shape[1])
     assert w % 8 == 0, w
     f = weights["l1_w"].shape[1]
-    it = choose_tile(bi, k, w, tm, d, f, num_heads, x.dtype.itemsize, strict_tiling=not interpret)
+    vp = head[0].shape[1] if head is not None else 0
+    it = choose_tile(bi, k, w, tm, d, f, num_heads, x.dtype.itemsize, strict_tiling=not interpret,
+                     vp=vp)
     assert it is not None, "caller must gate on fused_step_available"
     bt = it * k
     nt = bi // it
@@ -473,6 +508,12 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
         zeros = tuple(0 for _ in range(wt.ndim))
         in_specs.append(pl.BlockSpec(wt.shape, lambda i, sp, z=zeros: z))
         operands.append(wt)
+    if head is not None:
+        hw, hb, v_real = head
+        assert hw.dtype == cdt, (hw.dtype, cdt)
+        in_specs.append(pl.BlockSpec(hw.shape, lambda i, sp: (0, 0)))
+        in_specs.append(pl.BlockSpec(hb.shape, lambda i, sp: (0, 0)))
+        operands += [hw, hb]
 
     out_specs = [
         pl.BlockSpec((bt, d), lambda i, sp: (i, 0)),
@@ -484,6 +525,9 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
         jax.ShapeDtypeStruct(self_k.shape, self_k.dtype),
         jax.ShapeDtypeStruct(self_v.shape, self_v.dtype),
     ]
+    if head is not None:
+        out_specs.append(pl.BlockSpec((bt, vp), lambda i, sp: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, vp), jnp.float32))
 
     scratch_shapes = []
     if tc is not None:
@@ -500,9 +544,10 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
-    kernel = _kernel_factory(it, k, w, tm, d, num_heads, f, has_lineage, cdt, tc=tc)
+    kernel = _kernel_factory(it, k, w, tm, d, num_heads, f, has_lineage, cdt, tc=tc,
+                             head=(vp, v_real) if head is not None else None)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
-    x_out, new_k, new_v = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -511,4 +556,8 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(pos_arr, *operands)
+    if head is not None:
+        x_out, new_k, new_v, logp = outs
+        return x_out, new_k, new_v, logp
+    x_out, new_k, new_v = outs
     return x_out, new_k, new_v

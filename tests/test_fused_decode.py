@@ -141,3 +141,51 @@ def test_beam_fused_matches_xla(setup, monkeypatch):
     monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "1")
     got = _tokens(lambda p, m, pm: beam_decode(p, m, pm, TINY, dc), params, memory, pad)
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("lanes", [1, 3])
+def test_head_fusion_parity(lanes):
+    """The fused decode head (in-kernel out-proj + masked log-softmax over a
+    128-padded vocab) matches dense + jax.nn.log_softmax on the real columns;
+    padded columns come back low enough that no top-k can ever select them."""
+    b_img, w, tm, cache_len, pos, v = 4, 16, 24, 32, 7, 40
+    lp = pack_step_params(decoder_layer_init(jax.random.PRNGKey(3), D, F))
+    ctx = Ctx(num_heads=H, dropout=0.0, deterministic=True)
+    r = np.random.RandomState(11)
+    b = b_img * lanes
+    x = jnp.asarray(r.randn(b, D).astype(np.float32) * 0.3)
+    self_k = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3)
+    self_v = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3)
+    mem_k = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3)
+    mem_v = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3)
+    valid = jnp.asarray(r.rand(b_img, tm) > 0.2).at[:, 0].set(True)
+    lin = (jnp.asarray(r.randint(0, lanes, size=(b, w)).astype(np.int32))
+           if lanes > 1 else None)
+    ow = jnp.asarray(r.randn(D, v).astype(np.float32) * 0.1)
+    ob = jnp.asarray(r.randn(v).astype(np.float32) * 0.1)
+    vp = 128
+    hw = jnp.zeros((D, vp), jnp.float32).at[:, :v].set(ow)
+    hb = jnp.zeros((1, vp), jnp.float32).at[0, :v].set(ob)
+
+    x_f, _, _, logp = fused_decoder_layer_step(
+        layer_weights(lp), x, pos, self_k, self_v, mem_k, mem_v,
+        valid.astype(jnp.float32), lin,
+        num_heads=H, window=w, lanes=lanes, interpret=True, head=(hw, hb, v),
+    )
+    ref = jax.nn.log_softmax((x_f @ ow + ob).astype(jnp.float32), axis=-1)
+    np.testing.assert_allclose(np.asarray(logp)[:, :v], np.asarray(ref), atol=2e-5, rtol=1e-5)
+    assert np.asarray(logp)[:, v:].max() < -1e20
+
+
+def test_beam_fused_head_matches_xla(setup, monkeypatch):
+    """Opt-in head fusion (DecodeConfig.head_mode="1"): the last fused layer
+    kernel emits log-probs directly; tokens stay identical to the XLA path."""
+    params, memory, pad = setup
+    monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "0")
+    dc0 = DecodeConfig(beam_width=3, max_len=80, sos_idx=SOS, eos_idx=EOS, pad_idx=PAD)
+    ref = _tokens(lambda p, m, pm: beam_decode(p, m, pm, TINY, dc0), params, memory, pad)
+    monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "1")
+    dc1 = DecodeConfig(beam_width=3, max_len=80, sos_idx=SOS, eos_idx=EOS, pad_idx=PAD,
+                       head_mode="1")
+    got = _tokens(lambda p, m, pm: beam_decode(p, m, pm, TINY, dc1), params, memory, pad)
+    np.testing.assert_array_equal(got, ref)
