@@ -108,6 +108,10 @@ class DecodeConfig:
     # overlapped by the while_loop, and the fused head lengthens the last
     # kernel's critical path. Same lesson as the megakernel: fusion buys
     # nothing once launches amortize. Kept for tile experiments.
+    # Scope: BEAM-ONLY — greedy decode never fuses the head and ignores both
+    # this field and the env var. With None, beam_decode reads the env var at
+    # TRACE time (same fallback as fused_mode); the Predictor snapshots it
+    # here per call so env toggles recompile instead of being silently ignored.
     head_mode: str | None = None
 
 

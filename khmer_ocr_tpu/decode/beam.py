@@ -124,12 +124,32 @@ def beam_decode(params, memory, memory_pad_mask, model_cfg: ModelConfig, dec_cfg
     _any_fused = any(f for f, _ in _stage_fused.values())
     # OPT-IN head fusion (out-proj + log-softmax inside the last layer's
     # kernel): measured PAR-to-slightly-slower than XLA's head ops on v5e
-    # (config.py::DecodeConfig.head_mode), so auto stays off.
+    # (config.py::DecodeConfig.head_mode), so auto stays off. BEAM-ONLY knob:
+    # greedy never fuses the head. When head_mode is None the env var is read
+    # at TRACE time (same fallback semantics as fused_mode inside
+    # should_use_fused) — jit callers should snapshot it into
+    # DecodeConfig.head_mode as the Predictor does, so a toggle between calls
+    # recompiles instead of being ignored by a warm jit cache.
     import os as _os
+
+    from ..ops.pallas.decode_step import head_fusion_compatible
 
     _head_env = (dec_cfg.head_mode if dec_cfg.head_mode is not None
                  else _os.environ.get("KHMER_OCR_FUSED_HEAD"))
     _use_head = _any_fused and _head_env == "1"
+    if _use_head:
+        # the head adds VMEM (vp-padded out-proj weights + logp block) to the
+        # LAST layer's kernel only; require every fused stage to admit the
+        # SAME tile with the head's vp as without, else the vp=0 gate above
+        # could pass while the head-augmented choose_tile trips its assert
+        # (or silently shrinks the last layer's tile)
+        _use_head = all(
+            head_fusion_compatible(b * k, k, w, memory.shape[1], memory.shape[2],
+                                   model_cfg.dec_ffn_dim, model_cfg.num_heads,
+                                   memory.dtype.itemsize, model_cfg.vocab_size,
+                                   strict_tiling=not interp)
+            for w, (f, interp) in _stage_fused.items() if f
+        )
     params = pack_decode_params(params, fused=_any_fused,
                                 head_dtype=memory.dtype if _use_head else None)
 

@@ -401,9 +401,15 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
 
         if head:
             # ---- fused decode head: out-proj + masked log-softmax ----------
+            # Mirror the XLA head's rounding (beam.py: bf16 dense -> f32
+            # log_softmax): round the f32-accumulated matmul to the compute
+            # dtype and add the bias there before widening, so bf16 serving
+            # cannot diverge from the XLA path on near-tie tokens (ADVICE r3
+            # #2). In f32 serving the casts are identity.
             vp, v_real = head
             lg = jnp.dot(x.astype(cdt), hw_ref[...], preferred_element_type=f32,
-                         precision=_PREC) + hb_ref[...].astype(f32)  # (Bt, Vp)
+                         precision=_PREC).astype(cdt)
+            lg = (lg + hb_ref[...].astype(cdt)).astype(f32)  # (Bt, Vp)
             colv = jax.lax.broadcasted_iota(jnp.int32, (bt, vp), 1)
             lg = jnp.where(colv < v_real, lg, NEG_INF)
             m = jnp.max(lg, axis=1, keepdims=True)
@@ -442,6 +448,24 @@ def should_use_fused(b_rows: int, lanes: int, max_window: int, tm: int, d: int, 
     ok = fused_step_available(b_rows, lanes, max_window, tm, d, f, num_heads, itemsize,
                               strict_tiling=strict)
     return ok, not strict
+
+
+def head_fusion_compatible(b_rows: int, k: int, w: int, tm: int, d: int, f: int,
+                           num_heads: int, itemsize: int, vocab_size: int,
+                           strict_tiling: bool = True) -> bool:
+    """True iff fusing the decode head into the last layer's kernel is safe for
+    this stage: the head-augmented VMEM estimate (vp > 0) must admit the SAME
+    tile as the headless estimate. ``fused_step_available`` gates with vp=0;
+    without this check a VMEM-tight shape can pass the gate and then trip the
+    trace-time assert in fused_decoder_layer_step when choose_tile re-runs with
+    the head's vp — or silently pick a smaller tile for the last layer than the
+    other layers run at (ADVICE r3 #1). Callers fall back to the XLA head when
+    this returns False."""
+    vp = -(-vocab_size // 128) * 128
+    n_images = b_rows // k
+    it0 = choose_tile(n_images, k, w, tm, d, f, num_heads, itemsize, strict_tiling)
+    itv = choose_tile(n_images, k, w, tm, d, f, num_heads, itemsize, strict_tiling, vp=vp)
+    return it0 is not None and itv == it0
 
 
 def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_valid_f,

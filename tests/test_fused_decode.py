@@ -177,6 +177,72 @@ def test_head_fusion_parity(lanes):
     assert np.asarray(logp)[:, v:].max() < -1e20
 
 
+@pytest.mark.parametrize("lanes", [1, 3])
+def test_head_fusion_parity_bf16(lanes):
+    """bf16 serving: the fused head mirrors the XLA head's rounding (bf16
+    dense output -> f32 log_softmax), so near-tie tokens cannot diverge
+    between the two paths (ADVICE r3 #2)."""
+    b_img, w, tm, cache_len, pos, v = 4, 16, 24, 32, 7, 40
+    bdt = jnp.bfloat16
+    lp = jax.tree.map(lambda a: a.astype(bdt),
+                      pack_step_params(decoder_layer_init(jax.random.PRNGKey(3), D, F)))
+    r = np.random.RandomState(13)
+    b = b_img * lanes
+    x = jnp.asarray(r.randn(b, D).astype(np.float32) * 0.3).astype(bdt)
+    self_k = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3).astype(bdt)
+    self_v = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3).astype(bdt)
+    mem_k = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3).astype(bdt)
+    mem_v = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3).astype(bdt)
+    valid = jnp.asarray(r.rand(b_img, tm) > 0.2).at[:, 0].set(True)
+    lin = (jnp.asarray(r.randint(0, lanes, size=(b, w)).astype(np.int32))
+           if lanes > 1 else None)
+    ow = jnp.asarray(r.randn(D, v).astype(np.float32) * 0.1).astype(bdt)
+    ob = jnp.asarray(r.randn(v).astype(np.float32) * 0.1).astype(bdt)
+    vp = 128
+    hw = jnp.zeros((D, vp), bdt).at[:, :v].set(ow)
+    hb = jnp.zeros((1, vp), jnp.float32).at[0, :v].set(ob.astype(jnp.float32))
+
+    x_f, _, _, logp = fused_decoder_layer_step(
+        layer_weights(lp), x, pos, self_k, self_v, mem_k, mem_v,
+        valid.astype(jnp.float32), lin,
+        num_heads=H, window=w, lanes=lanes, interpret=True, head=(hw, hb, v),
+    )
+    # the XLA head: bf16 dense (f32 accumulation rounded once, bias in bf16)
+    # widened to f32 before log_softmax (decode/beam.py). Tolerance is one
+    # bf16 ULP at the logit scale: XLA may fold the convert-to-bf16 into the
+    # dot (keeping extra lhs precision), so sub-ULP residuals remain even
+    # with the kernel mirroring the rounding — what the mirror removes is the
+    # SYSTEMATIC f32-vs-bf16 accumulation divergence (ADVICE r3 #2); exact
+    # bit parity in bf16 is not claimed (token-level parity tests run f32).
+    ref_logits = (jnp.dot(x_f, ow, preferred_element_type=jnp.float32)
+                  .astype(bdt) + ob).astype(jnp.float32)
+    ref = jax.nn.log_softmax(ref_logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(logp)[:, :v], np.asarray(ref), atol=0.02, rtol=0.01)
+    assert np.asarray(logp)[:, v:].max() < -1e20
+
+
+def test_head_gate_rejects_vmem_tight_shapes(monkeypatch):
+    """head_fusion_compatible: when the head-augmented VMEM estimate changes
+    (or removes) the tile choice, the gate must say no — beam_decode then
+    keeps the XLA head instead of tripping the kernel's choose_tile assert."""
+    from khmer_ocr_tpu.ops.pallas import decode_step as ds
+
+    args = dict(b_rows=48, k=3, w=64, tm=128, d=384, f=1536, num_heads=8,
+                itemsize=2, strict_tiling=True)
+    assert ds.fused_step_available(args["b_rows"], args["k"], args["w"], args["tm"],
+                                   args["d"], args["f"], args["num_heads"], args["itemsize"])
+    # generous budget: head fits alongside the same tile
+    assert ds.head_fusion_compatible(vocab_size=124, **args)
+    # shrink the budget until the headless tile still fits but the
+    # head-augmented one doesn't -> gate must reject
+    it0 = ds.choose_tile(16, 3, 64, 128, 384, 1536, 8, 2)
+    base = ds._vmem_estimate(it0, 3, 64, 128, 384, 1536, 8, 2)
+    monkeypatch.setattr(ds, "VMEM_BUDGET", base + 1)
+    assert ds.fused_step_available(args["b_rows"], args["k"], args["w"], args["tm"],
+                                   args["d"], args["f"], args["num_heads"], args["itemsize"])
+    assert not ds.head_fusion_compatible(vocab_size=124, **args)
+
+
 def test_beam_fused_head_matches_xla(setup, monkeypatch):
     """Opt-in head fusion (DecodeConfig.head_mode="1"): the last fused layer
     kernel emits log-probs directly; tokens stay identical to the XLA path."""
