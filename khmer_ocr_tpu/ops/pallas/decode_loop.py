@@ -1,18 +1,35 @@
 """Whole-decode beam-search megakernel: ALL decode steps in ONE Pallas launch.
 
-The per-step fused kernel (decode_step.py) still pays, every step, for (a) the
-self-KV cache round-trip through HBM, (b) per-step launch + XLA glue for the
-embed / out-projection / top-k / lineage bookkeeping, and (c) a fresh pass over
-the layer weights per launch. This kernel runs the ENTIRE beam decode for a
-tile of images inside one launch (docs/NEXT_STEPS.md round-3 item 2):
+STATUS: ARCHIVED EXPERIMENT, opt-in only (KHMER_OCR_MEGA_DECODE=1). Built to
+answer "does one launch beat per-step launches?" — the answer on v5e was NO:
+it measured device-time PAR against the round-3 448-us-era per-step fused
+path (30.6 vs 29.9 ms/decode, B=128 beam-3 Tm=128 64 steps) at ~10x the
+compile cost, because XLA's while_loop had already amortized the per-step
+launches; and the per-step path has since dropped to 264 us/step (sort-free
+top-k), so as of round 4 this kernel is ~1.8x SLOWER than the default path.
+It also lacks the per-step path's provably-safe early exit (always runs
+max_len steps). Kept because its parity tests pin the in-kernel top-k /
+lineage constructions the per-step path borrows, and as the measured data
+point that more fusion only serializes once launches amortize. If revisited,
+re-derive from the current decode_step.py kernel; do not trust the envelope
+numbers below as current.
+
+Design (as built): the per-step fused kernel (decode_step.py) pays, every
+step, for (a) the self-KV cache round-trip through HBM, (b) per-step launch +
+XLA glue for the embed / out-projection / top-k / lineage bookkeeping, and
+(c) a fresh pass over the layer weights per launch. This kernel runs the
+ENTIRE beam decode for a tile of images inside one launch:
 
   * self-KV caches live in VMEM scratch for the whole decode — ZERO cache HBM
     traffic (the dominant per-step cost at 384+ lanes);
   * memory cross-K/V load once per tile, not once per step;
   * attention/layer weights resident across the step loop; only the FFN
     matrices (l1/l2, 4.7 MB of the 8.9 MB total) stream from HBM per
-    (layer, step) through an async-copy scratch buffer — resident FFN would
-    blow the ~16 MB VMEM budget;
+    (layer, step) through an async-copy scratch buffer. (This FFN-streaming
+    split was designed against Mosaic's DEFAULT ~16 MB vmem limit; the later
+    VMEM probe showed ~124 MB scoped VMEM is usable — examples/probe_vmem.py
+    — so a resident-FFN variant is possible, but the PAR measurement above
+    says the launch-count premise is wrong, not the VMEM split);
   * embedding (one-hot MXU matmul), out-projection, log-softmax, per-beam
     top-K, completion tracking, and pointer-lineage updates all happen
     in-kernel — no per-step XLA ops at all.
@@ -116,12 +133,13 @@ def should_use_megakernel(b_rows: int, k: int, max_len: int, tm: int, d: int, f:
     env = os.environ.get("KHMER_OCR_MEGA_DECODE") if mode is None else mode
     if env != "1":
         # OPT-IN only (measured v5e, B=128 images, Tm=128, beam-3, 64 steps):
-        # the megakernel decodes in 30.6 ms vs the per-step fused path's
-        # 29.9 ms — device-time par — while compiling ~10x slower (18.7 s vs
-        # 1.7 s). The per-step fused decode-step kernel (decode_step.py) is
-        # the production beam path; the megakernel stays available for
-        # shapes/hardware where one-launch decode may win (e.g. much smaller
-        # batches, where per-step XLA glue stops amortizing).
+        # the megakernel decoded in 30.6 ms vs the THEN-current (round-3,
+        # 448 us/step) per-step fused path's 29.9 ms — device-time par —
+        # while compiling ~10x slower (18.7 s vs 1.7 s). The per-step path
+        # has since dropped to 264 us/step (sort-free top-k), making the
+        # megakernel ~1.8x slower than production as of round 4 — it is an
+        # archived experiment (see module docstring), kept for its parity
+        # tests and for shapes/hardware where one-launch decode may win.
         return False, False
     backend = jax.default_backend()
     if b_rows % max(k, 1):
