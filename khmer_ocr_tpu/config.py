@@ -163,6 +163,16 @@ class RuntimeConfig:
     # 58 ms/image vs 0.2 ms at a tight cap). 2048 px covers lines up to 23
     # chunks; rarer wider lines fall back to a tight per-image native decode.
     slab_cap_w: int = 2048
+    # Deadline (ms) after which a PARTIALLY-filled chunk bucket is flushed to
+    # the device instead of waiting for max_batch lines: device decode starts
+    # while host prep is still streaming, instead of bursting at end-of-stream
+    # (at batch 256 most buckets only fill when the stream ends). 0 disables
+    # (flush only at max_batch / stream end). Partial batches pad to the
+    # normal batch buckets; timing-dependent batch sizes mean grouped-dispatch
+    # shape combos vary run to run, so combos beyond the compile budget fall
+    # back to per-batch dispatch — the deadline trades that dispatch overhead
+    # for prep/device overlap.
+    flush_deadline_ms: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -246,8 +246,14 @@ class Preprocessor:
         chunk count exceeds the largest bucket are truncated to it — matching
         the reference's global-position truncation at 4096 tokens
         (se_model.py:267-270): 128 chunks * 32 tokens = 4096.
+
+        With ``RuntimeConfig.flush_deadline_ms`` > 0, a bucket whose OLDEST
+        line has waited past the deadline is flushed partially filled, so the
+        device starts decoding while prep still streams (at batch 256 most
+        buckets otherwise fill only at end-of-stream — round-3 VERDICT #5).
         """
         grouped: dict[int, list[tuple[int, int, np.ndarray]]] = {}
+        arrivals: dict[int, float] = {}  # bucket -> oldest-line monotonic time
 
         def assemble(bucket_n, part) -> PreparedBatch:
             return PreparedBatch(
@@ -257,14 +263,14 @@ class Preprocessor:
                 bucket_n=bucket_n,
             )
 
-        yield from self._iter_prepared(image_sources, max_batch, grouped, assemble)
+        yield from self._iter_prepared(image_sources, max_batch, grouped, assemble, arrivals)
         for bucket_n in sorted(grouped):  # partial tails
             items = grouped[bucket_n]
             step = max_batch or len(items)
             for j in range(0, len(items), step):
                 yield assemble(bucket_n, items[j : j + step])
 
-    def _iter_prepared(self, image_sources, max_batch, grouped, assemble):
+    def _iter_prepared(self, image_sources, max_batch, grouped, assemble, arrivals):
         """Feed per-line (bucket, count, payload) prep results into ``grouped``,
         yielding full batches as buckets fill. All-file uint8-lines workloads
         take ONE native C++ batch-decode call per slab (GIL-free thread pool,
@@ -287,7 +293,7 @@ class Preprocessor:
 
             with ThreadPoolExecutor(max_workers=self.runtime.host_workers) as pool:
                 for i, out in enumerate(pool.map(self._prepare_one, image_sources)):
-                    yield from self._feed(i, out, grouped, assemble, max_batch)
+                    yield from self._feed(i, out, grouped, assemble, max_batch, arrivals)
             return
 
         from .native.imageio import load_resize_gray, load_resize_gray_batch
@@ -315,14 +321,14 @@ class Preprocessor:
                     if not Path(path).exists():
                         raise FileNotFoundError(f"Image not found: {path}")
                     out = self._prepare_one(path)  # PIL fallback (exotic format)
-                    yield from self._feed(start + j, out, grouped, assemble, max_batch)
+                    yield from self._feed(start + j, out, grouped, assemble, max_batch, arrivals)
                     continue
                 if w_nat > cap_w:  # rare wide line: tight full-width re-decode
                     full = load_resize_gray(path, out_h=cfg.img_height, min_w=cfg.min_width,
                                             cap_w=cap_full, as_uint8=True)
                     if full is None:
                         out = self._prepare_one(path)
-                        yield from self._feed(start + j, out, grouped, assemble, max_batch)
+                        yield from self._feed(start + j, out, grouped, assemble, max_batch, arrivals)
                         continue
                     row, w_nat = full, full.shape[1]
                 keep = min(w_nat, cap_full)
@@ -332,14 +338,30 @@ class Preprocessor:
                 padded = np.full((cfg.img_height, padded_w), 255, np.uint8)
                 padded[:, : min(keep, padded_w)] = row[:, : min(keep, padded_w)]
                 out = (bucket_n, n, padded)
-                yield from self._feed(start + j, out, grouped, assemble, max_batch)
+                yield from self._feed(start + j, out, grouped, assemble, max_batch, arrivals)
 
-    @staticmethod
-    def _feed(i, out, grouped, assemble, max_batch):
+    def _feed(self, i, out, grouped, assemble, max_batch, arrivals):
+        import time as _time
+
         bucket_n, n, chunks = out
-        grouped.setdefault(bucket_n, []).append((i, n, chunks))
-        if max_batch and len(grouped[bucket_n]) == max_batch:
-            yield assemble(bucket_n, grouped.pop(bucket_n))
+        deadline = self.runtime.flush_deadline_ms / 1e3
+        bin_ = grouped.setdefault(bucket_n, [])
+        if deadline and not bin_:
+            arrivals[bucket_n] = _time.monotonic()
+        bin_.append((i, n, chunks))
+        if max_batch and len(bin_) == max_batch:
+            grouped.pop(bucket_n)
+            arrivals.pop(bucket_n, None)
+            yield assemble(bucket_n, bin_)
+        if deadline:
+            # flush EVERY bucket whose oldest line has aged out, not just the
+            # one fed — a bucket stops receiving once later lines land elsewhere
+            now = _time.monotonic()
+            for b in [b for b, t0 in arrivals.items() if now - t0 > deadline]:
+                arrivals.pop(b)
+                items = grouped.pop(b, None)
+                if items:
+                    yield assemble(b, items)
 
     def prepare_batches(
         self, image_sources: list, max_batch: int | None = None

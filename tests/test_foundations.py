@@ -200,6 +200,42 @@ def test_bucketing():
     np.testing.assert_allclose(bl.chunks[0][:, 60:], 255)
 
 
+def test_deadline_flush_partial_buckets():
+    """RuntimeConfig.flush_deadline_ms: buckets flush PARTIAL batches once
+    their oldest line ages past the deadline (device work starts while prep
+    still streams); every line still comes out exactly once, in valid static
+    shapes, and contents match the no-deadline run line for line."""
+    cfg = PreprocessConfig()
+    imgs = [_rand_pil(60 + 85 * (i % 4), 48, seed=i) for i in range(24)]
+
+    ref = {}
+    for b in Preprocessor(cfg, RuntimeConfig(chunk_buckets=(1, 2, 4))).iter_batches(
+            imgs, max_batch=256):
+        for pos, idx in enumerate(b.indices):
+            ref[idx] = (b.bucket_n, int(b.chunk_counts[pos]), b.chunks[pos])
+
+    # a ~0 deadline flushes on (almost) every feed -> many partial batches
+    pre = Preprocessor(cfg, RuntimeConfig(chunk_buckets=(1, 2, 4), flush_deadline_ms=1e-6))
+    batches = list(pre.iter_batches(imgs, max_batch=256))
+    assert len(batches) > 3  # partial flushes happened well before end-of-stream
+    seen = {}
+    for b in batches:
+        assert len(b.indices) <= 256
+        assert b.chunks.shape[0] == len(b.indices)
+        for pos, idx in enumerate(b.indices):
+            assert idx not in seen, "line emitted twice"
+            seen[idx] = (b.bucket_n, int(b.chunk_counts[pos]), b.chunks[pos])
+    assert set(seen) == set(range(len(imgs)))
+    for idx, (bn, cc, payload) in ref.items():
+        assert seen[idx][0] == bn and seen[idx][1] == cc
+        np.testing.assert_array_equal(seen[idx][2], payload)
+
+    # deadline off (default): behavior unchanged — one batch per bucket here
+    again = list(Preprocessor(cfg, RuntimeConfig(chunk_buckets=(1, 2, 4))).iter_batches(
+        imgs, max_batch=256))
+    assert len(again) == len({b.bucket_n for b in again})
+
+
 def test_device_chunking_parity():
     """The on-device strided chunker over the uint8 lines payload must be
     bit-identical to the host chunk_line + normalize path, including the
