@@ -74,6 +74,19 @@ _IT_CAP = int(_os.environ.get("KHMER_OCR_FUSED_IT_CAP", 16))
 # the old 128 cap; the default stays at the value the tile sweep validated.
 _RESIDENT_TM = int(_os.environ.get("KHMER_OCR_RESIDENT_TM", 128))
 
+# Stage-DMA/compute overlap experiment (round-4 kernel-floor item): with "1",
+# the resident path's memory K/V move from auto-pipelined input blocks to
+# MANUAL DMA — the tile's own copy is issued at body entry and awaited only at
+# the cross-attention stage, so the self-attention phase runs while the memory
+# blocks stream instead of the whole body blocking on the full input set.
+# MEASURED LOSS on v5e: 304 vs 260 us/step beam-3 (B=128, Tm=128, bf16) — the
+# auto-pipeline already overlaps tile i+1's WHOLE input set with tile i's
+# compute, which beats deferring one input's wait within the tile; opt-in for
+# re-testing on other TPU generations only. Token-parity-covered by
+# tests/test_fused_decode.py (_MEM_PREFETCH patched); measured via
+# examples/profile_decode.py with the env set.
+_MEM_PREFETCH = _os.environ.get("KHMER_OCR_MEM_PREFETCH") == "1"
+
 # weight operand order (all 2D; vectors reshaped to (1, n) by the wrapper)
 _WEIGHT_FIELDS = (
     "qkv_w", "qkv_b", "so_w", "so_b", "ln1_s", "ln1_b",
@@ -189,7 +202,7 @@ def fused_step_available(b_rows: int, k: int, w: int, tm: int, d: int, f: int,
 
 def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
                     has_lineage: bool, cdt, tc: int | None = None,
-                    head: tuple[int, int] | None = None):
+                    head: tuple[int, int] | None = None, prefetch: bool = False):
     """``tc``: streaming cross-attention chunk size — when set, mem K/V arrive
     as HBM refs and the kernel streams (It, tc, D) chunks through a manually
     double-buffered online-softmax loop (flash-decoding style) instead of
@@ -199,7 +212,13 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
     out-projection to a vp-padded vocab + masked log-softmax, emitting an
     extra (Bt, vp) f32 log-prob output (padded columns ~NEG_INF). Removes the
     remaining per-step XLA head ops (dense + log_softmax) from the beam loop
-    (docs/NEXT_STEPS.md round-4 item 1)."""
+    (docs/NEXT_STEPS.md round-4 item 1).
+
+    ``prefetch`` (resident path only, exclusive with ``tc``): memory K/V stay
+    in HBM and the kernel issues their (It, Tm, D) copies itself at body
+    entry, awaiting them only at the cross-attention stage — the self-
+    attention phase covers the DMA and the auto-pipeline's blocking input set
+    shrinks by the memory blocks (KHMER_OCR_MEM_PREFETCH experiment)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -226,8 +245,9 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
             lineage_ref = None
             wrefs = rest
         # tail after the 18 layer weights: [hw, hb] (head inputs) + outs
-        # (x, k, v [, logp]) + streaming scratch (kbuf, vbuf, ksem, vsem)
-        n_tail = (2 if head else 0) + 3 + (1 if head else 0) + (4 if tc is not None else 0)
+        # (x, k, v [, logp]) + streaming/prefetch scratch (kbuf, vbuf, ksem, vsem)
+        n_tail = (2 if head else 0) + 3 + (1 if head else 0) + (
+            4 if (tc is not None or prefetch) else 0)
         (qkv_w, qkv_b, so_w, so_b, ln1_s, ln1_b, cq_w, cq_b, co_w, co_b,
          ln2_s, ln2_b, l1_w, l1_b, l2_w, l2_b, ln3_s, ln3_b) = wrefs[:-n_tail]
         tail = list(wrefs[len(wrefs) - n_tail:])
@@ -239,8 +259,17 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
         if head:
             logp_ref = tail[0]
             tail = tail[1:]
-        if tc is not None:
+        if tc is not None or prefetch:
             kbuf, vbuf, ksem, vsem = tail
+
+        if prefetch:
+            # issue THIS tile's memory K/V copies now; the self-attention
+            # phase below runs while they stream (awaited at the cross stage)
+            i0p = pl.program_id(0) * it
+            copy_mk = pltpu.make_async_copy(mem_k_ref.at[pl.ds(i0p, it), :, :], kbuf, ksem)
+            copy_mv = pltpu.make_async_copy(mem_v_ref.at[pl.ds(i0p, it), :, :], vbuf, vsem)
+            copy_mk.start()
+            copy_mv.start()
 
         pos = pos_ref[0]
         xin = x_ref[...]  # (Bt, D) cdt
@@ -324,8 +353,14 @@ def _kernel_factory(it: int, k: int, w: int, tm: int, d: int, h: int, f: int,
         mvf = mem_valid_ref[...]  # (It, Tm) f32
 
         if tc is None:
-            mem_kc = mem_k_ref[...]  # (It, Tm, D) cdt, VMEM-resident
-            mem_vc = mem_v_ref[...]
+            if prefetch:
+                copy_mk.wait()
+                copy_mv.wait()
+                mem_kc = kbuf[...]  # (It, Tm, D) cdt, manually DMA'd
+                mem_vc = vbuf[...]
+            else:
+                mem_kc = mem_k_ref[...]  # (It, Tm, D) cdt, VMEM-resident
+                mem_vc = mem_v_ref[...]
             mem_ok = mvf[:, :, None] > 0  # (It, Tm, 1)
             ca_lanes = []
             for p in range(k):  # each image's memory streams once per lane (VMEM)
@@ -504,14 +539,15 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
     cdt = x.dtype
     grid = (nt,)
     tc = _cross_chunk(tm) if tm > _RESIDENT_TM else None  # streaming cross beyond the resident envelope
+    prefetch = _MEM_PREFETCH and tc is None
 
-    if tc is None:
+    if tc is None and not prefetch:
         mem_specs = [
             pl.BlockSpec((it, tm, d), lambda i, sp: (i, 0, 0)),
             pl.BlockSpec((it, tm, d), lambda i, sp: (i, 0, 0)),
         ]
     else:
-        # streaming: K/V stay in HBM; the kernel DMAs (It, tc, D) chunks
+        # streaming/prefetch: K/V stay in HBM; the kernel DMAs them itself
         mem_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -561,6 +597,13 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    elif prefetch:
+        scratch_shapes = [
+            pltpu.VMEM((it, tm, d), cdt),
+            pltpu.VMEM((it, tm, d), cdt),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -569,7 +612,8 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
         scratch_shapes=scratch_shapes,
     )
     kernel = _kernel_factory(it, k, w, tm, d, num_heads, f, has_lineage, cdt, tc=tc,
-                             head=(vp, v_real) if head is not None else None)
+                             head=(vp, v_real) if head is not None else None,
+                             prefetch=prefetch)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     outs = pl.pallas_call(
         kernel,

@@ -101,6 +101,51 @@ def test_streaming_cross_parity(lanes):
     np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_ref))
 
 
+@pytest.mark.parametrize("lanes,pos,tiles", [(1, 5, 1), (3, 7, 1), (3, 7, 2)])
+def test_mem_prefetch_parity(lanes, pos, tiles, monkeypatch):
+    """KHMER_OCR_MEM_PREFETCH=1: the resident path's memory K/V move to manual
+    double-buffered DMA (issued at body entry, awaited at the cross stage) —
+    outputs must stay bit-identical to the auto-pipelined resident path.
+    ``tiles=2`` clamps the VMEM budget so the grid runs two image tiles,
+    covering the kernel's program_id-offset HBM slicing."""
+    from khmer_ocr_tpu.ops.pallas import decode_step as ds
+
+    b_img, w, tm, cache_len = 4, 16, 24, 32
+    if tiles > 1:
+        budget = ds._vmem_estimate(b_img // tiles, lanes, w, tm, D, F, H, 4)
+        assert ds._vmem_estimate(b_img, lanes, w, tm, D, F, H, 4) > budget
+        monkeypatch.setattr(ds, "VMEM_BUDGET", budget)
+    lp = pack_step_params(decoder_layer_init(jax.random.PRNGKey(0), D, F))
+    ctx = Ctx(num_heads=H, dropout=0.0, deterministic=True)
+    r = np.random.RandomState(pos * 10 + lanes)
+    b = b_img * lanes
+    x = jnp.asarray(r.randn(b, D).astype(np.float32) * 0.3)
+    self_k = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3)
+    self_v = jnp.asarray(r.randn(b, cache_len, D).astype(np.float32) * 0.3)
+    mem_k = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3)
+    mem_v = jnp.asarray(r.randn(b_img, tm, D).astype(np.float32) * 0.3)
+    valid = jnp.asarray(r.rand(b_img, tm) > 0.2).at[:, 0].set(True)
+    if lanes > 1:
+        lin_local = jnp.asarray(r.randint(0, lanes, size=(b, w)).astype(np.int32))
+        lin_abs = lin_local + lanes * (jnp.arange(b, dtype=jnp.int32)[:, None] // lanes)
+        own = jnp.arange(b, dtype=jnp.int32)[:, None]
+        idx = jnp.where(jnp.arange(w)[None, :] == pos, own, lin_abs)
+    else:
+        lin_local = idx = None
+    x_ref, k_ref, v_ref = decoder_layer_step(
+        lp, ctx, x, pos, self_k, self_v, mem_k, mem_v, valid, window=w, lineage_idx=idx
+    )
+    monkeypatch.setattr(ds, "_MEM_PREFETCH", True)
+    x_f, k_f, v_f = fused_decoder_layer_step(
+        layer_weights(lp), x, pos, self_k, self_v, mem_k, mem_v,
+        valid.astype(jnp.float32), lin_local,
+        num_heads=H, window=w, lanes=lanes, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), atol=2e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(k_f), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_ref))
+
+
 TINY = ModelConfig(vocab_size=40, emb_dim=D, num_heads=H, enc_layers=1, dec_layers=2,
                    enc_ffn_dim=128, max_global_len=256, decode_max_len=80, backbone="vgg",
                    use_bilstm=False)
@@ -139,6 +184,21 @@ def test_beam_fused_matches_xla(setup, monkeypatch):
     monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "0")
     ref = _tokens(lambda p, m, pm: beam_decode(p, m, pm, TINY, dc), params, memory, pad)
     monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "1")
+    got = _tokens(lambda p, m, pm: beam_decode(p, m, pm, TINY, dc), params, memory, pad)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_beam_fused_prefetch_matches_xla(setup, monkeypatch):
+    """Full beam-3 decode with KHMER_OCR_MEM_PREFETCH=1 (manual memory-K/V
+    DMA inside the kernel): tokens identical to the XLA path end-to-end."""
+    from khmer_ocr_tpu.ops.pallas import decode_step as ds
+
+    params, memory, pad = setup
+    dc = DecodeConfig(beam_width=3, max_len=80, sos_idx=SOS, eos_idx=EOS, pad_idx=PAD)
+    monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "0")
+    ref = _tokens(lambda p, m, pm: beam_decode(p, m, pm, TINY, dc), params, memory, pad)
+    monkeypatch.setenv("KHMER_OCR_FUSED_DECODE", "1")
+    monkeypatch.setattr(ds, "_MEM_PREFETCH", True)
     got = _tokens(lambda p, m, pm: beam_decode(p, m, pm, TINY, dc), params, memory, pad)
     np.testing.assert_array_equal(got, ref)
 
