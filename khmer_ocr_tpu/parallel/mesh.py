@@ -45,6 +45,16 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for a grouped-dispatch stack of K same-shape batches: axis 0 is
+    the step axis (replicated — `lax.scan` consumes it sequentially), axis 1 is
+    the batch axis (sharded over data). This is what lets grouped multi-step
+    training dispatch run under a mesh (train/loop.py): each scanned slice
+    keeps its data-axis sharding."""
+    assert ndim >= 2, ndim
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
 def _spec_for_path(path: str, leaf) -> P:
     """Tensor-parallel placement for a parameter, by its pytree path.
 

@@ -61,8 +61,11 @@ def train(
     program call costs ~30 ms of host dispatch, which at batch 32 bounds real
     training ~6x below the device step rate. Grouping is semantically identical
     to K single dispatches (same per-step rng fold and lr; bitwise up to XLA
-    fusion-order rounding). 1 disables; forced to 1 under ``mesh`` (stacked
-    batches would need a shifted shard axis).
+    fusion-order rounding). 1 disables. Works under ``mesh`` too: stacked
+    batches shard their SECOND axis (the batch axis) over 'data' while the
+    leading scan axis stays replicated (parallel/mesh.py::
+    stacked_batch_sharding), so multi-chip training keeps the grouped-dispatch
+    amortization instead of paying full per-call dispatch cost per step.
     """
     config = config or OCRConfig()
     tcfg, mcfg = config.train, config.model
@@ -120,8 +123,6 @@ def train(
 
     enable_compilation_cache()
 
-    if mesh is not None:
-        dispatch_group = 1  # stacked batches would need a shifted shard axis
     multi_step = (
         make_train_multi_step(mcfg, optimizer, precision=config.runtime.matmul_precision,
                               chunk_geom=chunk_geom, augment_prob=aug_prob)
@@ -158,6 +159,15 @@ def train(
                 k: np.stack([b.as_dict()[k] for b in batches])
                 for k in batches[0].as_dict()
             }
+            if mesh is not None:
+                # axis 0 is the scan (step) axis, axis 1 the batch axis — shard
+                # axis 1 over 'data' so each scanned step runs data-parallel
+                from ..parallel.mesh import stacked_batch_sharding
+
+                stacked = {
+                    k: jax.device_put(v, stacked_batch_sharding(mesh, np.ndim(v)))
+                    for k, v in stacked.items()
+                }
             lrs = np.asarray([schedule(step + i) for i in range(len(batches))], np.float32)
             state, metrics = multi_step(state, stacked, rng, lrs)
             step += len(batches)
