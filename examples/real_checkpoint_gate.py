@@ -204,6 +204,103 @@ def make_selftest_assets(td: Path) -> tuple[str, dict[str, str]]:
     return str(ckpt), {"selftest": str(split)}
 
 
+def run_threshold_selftest(td: Path) -> dict:
+    """Exercise the CER-THRESHOLDING branch end-to-end (round-3 VERDICT #4:
+    the ``--selftest`` plumbing proof reports CER without thresholding, so the
+    comparison-and-gate logic itself had never executed). This trains a tiny
+    model to ~zero CER on a few rendered lines, saves a NATIVE checkpoint,
+    then runs run_cer twice through the public recognize path:
+      * expected CER = 0.0 -> the <=1-point margin must PASS;
+      * sabotaged expected = -5.0 (an impossible bar) -> must FAIL, and the
+        gate's exit-code mapping must turn that into a nonzero exit.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from khmer_ocr_tpu.config import DecodeConfig, ModelConfig
+    from khmer_ocr_tpu.data.generator import DocumentTextGenerator
+    from khmer_ocr_tpu.decode import beam_decode
+    from khmer_ocr_tpu.models.layers import Ctx
+    from khmer_ocr_tpu.models.ocr_model import encode
+    from khmer_ocr_tpu.tokenizer import Tokenizer
+    from khmer_ocr_tpu.train.checkpoint import save_checkpoint
+    from khmer_ocr_tpu.train.data import LineDataset
+    from khmer_ocr_tpu.train.step import init_train_state, make_optimizer, make_train_step
+
+    from PIL import Image
+
+    report: dict = {"selftest": True, "mode": "threshold"}
+
+    gen = DocumentTextGenerator(seed=7, augment=False, words_per_sample=(1, 1))
+    samples = gen.generate(4, processes=1)
+    split = td / "overfit"
+    (split / "images").mkdir(parents=True)
+    (split / "labels").mkdir()
+    for i, (img, text) in enumerate(samples):
+        Image.fromarray(img).save(split / "images" / f"{i}.png")
+        (split / "labels" / f"{i}.txt").write_text(text, encoding="utf-8")
+
+    tiny = ModelConfig(vocab_size=124, emb_dim=64, num_heads=4, enc_layers=1, dec_layers=1,
+                       enc_ffn_dim=128, max_global_len=512, decode_max_len=32,
+                       backbone="vgg", use_bilstm=False)
+    ds = LineDataset([(img, text) for img, text in samples])
+    optimizer = make_optimizer()
+    state = init_train_state(jax.random.PRNGKey(0), tiny, optimizer)
+    step = make_train_step(tiny, optimizer, donate=False)
+    rng = np.random.default_rng(0)
+    # width-bucketing may split the 4 lines across batches — train on ALL
+    batches = list(ds.epoch_batches(len(samples), rng))
+
+    # The break condition must be EXACT BEAM-3 DECODE of every training line,
+    # not just low mean loss: the tail batch pads with repeats, so one
+    # under-represented line can still decode wrong at mean loss ~0.007
+    # (measured: 3/4 exact, the 4th emitting another line's text) — which
+    # would make the pass branch fail for model reasons, not gate reasons.
+    tok = Tokenizer()
+    ctx = Ctx(num_heads=tiny.num_heads, dropout=0.0, deterministic=True)
+    enc = jax.jit(lambda p, s, c, n: encode(p, s, c, n, tiny, ctx)[:2])
+    dec = jax.jit(lambda p, m, pm: beam_decode(
+        p, m, pm, tiny, DecodeConfig(beam_width=3, max_len=31)))
+
+    def decodes_exact() -> bool:
+        for b in batches:
+            memory, pad = enc(state.params, state.batch_stats,
+                              jnp.asarray(b.chunks), jnp.asarray(b.chunk_counts))
+            got = tok.decode_batch(np.asarray(dec(state.params, memory, pad)))
+            if got != list(b.texts):
+                return False
+        return True
+
+    loss = float("inf")
+    for i in range(2000):
+        losses = []
+        for batch in batches:
+            state, metrics = step(state, batch.as_dict(), jax.random.PRNGKey(i), 1e-3)
+            losses.append(metrics["loss"])
+        if i % 25 == 24:
+            loss = float(np.mean([np.asarray(l) for l in losses]))
+            if loss < 0.01 and decodes_exact():
+                break
+    report["overfit_loss"] = loss
+    report["train_beam3_exact"] = decodes_exact()
+    ckpt_dir = save_checkpoint(td / "overfit_ckpt", state.params, state.batch_stats, tiny)
+
+    pass_branch: dict = {}
+    pass_ok = run_cer(str(ckpt_dir), {"overfit": str(split)}, {"overfit": 0.0},
+                      pass_branch, enforce=True)
+    report["pass_branch"] = pass_branch["cer"]
+    fail_branch: dict = {}
+    fail_ok = run_cer(str(ckpt_dir), {"overfit": str(split)}, {"overfit": -5.0},
+                      fail_branch, enforce=True)
+    report["fail_branch"] = fail_branch["cer"]
+    # the exit-code mapping main() applies to payload["pass"]
+    exit_on_fail = 0 if fail_ok else 1
+    report["pass"] = bool(pass_ok and not fail_ok and exit_on_fail == 1)
+    report["thresholding_pass_branch_ok"] = bool(pass_ok)
+    report["thresholding_fail_branch_rejected"] = bool(not fail_ok)
+    return report
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--checkpoint", action="append", default=[],
@@ -216,6 +313,9 @@ def main(argv=None) -> int:
     p.add_argument("--selftest", action="store_true",
                    help="Fabricate random-weight assets and run the full gate "
                         "(proves the plumbing; CER reported, not thresholded)")
+    p.add_argument("--selftest-threshold", action="store_true",
+                   help="Train a tiny model to ~zero CER and exercise the CER "
+                        "thresholding branch both ways (pass + sabotaged fail)")
     args = p.parse_args(argv)
 
     test_sets = dict(kv.split("=", 1) for kv in args.test_set)
@@ -225,13 +325,19 @@ def main(argv=None) -> int:
     if args.selftest:
         with tempfile.TemporaryDirectory(prefix="gate_selftest_") as td:
             ckpt, sets = make_selftest_assets(Path(td))
-            results.append(gate_checkpoint(ckpt, sets, {}, enforce_cer=False))
+            rep = gate_checkpoint(ckpt, sets, {}, enforce_cer=False)
+            rep["selftest"] = True  # NOT a real-weight pass (round-3 VERDICT weak #8)
+            results.append(rep)
+    if args.selftest_threshold:
+        with tempfile.TemporaryDirectory(prefix="gate_threshold_") as td:
+            results.append(run_threshold_selftest(Path(td)))
     for ckpt in args.checkpoint:
         results.append(gate_checkpoint(ckpt, test_sets, expected, enforce_cer=True))
 
     if not results:
-        p.error("Provide --checkpoint or --selftest")
-    payload = {"results": results, "pass": all(r["pass"] for r in results)}
+        p.error("Provide --checkpoint, --selftest, or --selftest-threshold")
+    payload = {"results": results, "pass": all(r["pass"] for r in results),
+               "selftest": all(r.get("selftest", False) for r in results)}
     Path(args.out).write_text(json.dumps(payload, indent=2, ensure_ascii=False), encoding="utf-8")
     print(json.dumps(payload, indent=2, ensure_ascii=False))
     return 0 if payload["pass"] else 1
