@@ -16,13 +16,33 @@ Decode runs the full 64 steps (random weights rarely emit <eos>, and beam's
 early exit never fires without completions) — a conservative worst case; real
 checkpoints finish lines in fewer steps and exit earlier.
 
+RESILIENCE (round-3 postmortem): round 3's driver bench died with rc=1 on a
+TPU ``FailedPrecondition`` at the very first device fetch — transient device/
+tunnel state (the identical code benched clean in round 4: 4453 lines/s).
+To make one bad device state unable to erase a round's perf evidence, every
+row now runs in its OWN subprocess with up to three attempts:
+  1. default environment;
+  2. after a 60 s heal wait (the axon tunnel needs ~1-2 min with no clients
+     after a wedge), with the persistent XLA compile cache DISABLED — rules
+     out a stale cached executable replaying into bad device state;
+  3. (primary row only) additionally with KHMER_OCR_FUSED_DECODE=0 — rules
+     out the Pallas kernel itself.
+The final JSON line always prints with whatever rows succeeded plus an
+``errors`` field; exit code is 0 iff the PRIMARY (beam-3) row succeeded.
+
 Flags: --trace DIR captures a jax.profiler trace of the beam-3 run.
+       --smoke runs every row at tiny shapes (CI / virtual-mesh validation:
+         XLA_FLAGS=--xla_force_host_platform_device_count=8 exercises the
+         n_dev>1 sharded branch without TPU hardware).
+       --row NAME --inner runs one row in-process (the orchestrator's child).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -86,10 +106,15 @@ def bench_device(params, stats, cfg, dtype, beam_width: int, batches, mesh=None)
     return total_lines / (time.perf_counter() - t0)
 
 
-def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 3, mesh=None):
+def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 3, mesh=None,
+                     flush_deadline_ms: float = 0.0):
     """image FILES in -> strings out through the public Predictor (native C++
     decode+resize loader, bucketing, device decode), on rendered Khmer lines
-    saved to disk — the realistic serving input."""
+    saved to disk — the realistic serving input.
+
+    ``flush_deadline_ms`` > 0 enables the partial-bucket deadline flush
+    (RuntimeConfig.flush_deadline_ms) for A/B'ing prep/device overlap."""
+    import dataclasses
     import tempfile
     from pathlib import Path
 
@@ -112,7 +137,11 @@ def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 
         Image.fromarray(img).save(p)
         images.append(str(p))
 
-    predictor = Predictor(params=params, batch_stats=stats, model_cfg=cfg, config=OCRConfig(),
+    config = OCRConfig()
+    if flush_deadline_ms:
+        config = config.replace(
+            runtime=dataclasses.replace(config.runtime, flush_deadline_ms=flush_deadline_ms))
+    predictor = Predictor(params=params, batch_stats=stats, model_cfg=cfg, config=config,
                           mesh=mesh)
     # two full warm passes: every (chunk-bucket, batch-bucket) shape this
     # workload hits compiles on the first, and every group COMBO — which only
@@ -133,7 +162,8 @@ def bench_end_to_end(params, stats, cfg, n_images: int = 768, beam_width: int = 
     return rates[1]
 
 
-def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3):
+def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3,
+                   lines_per_page: int = 18):
     """Full document pipeline pages/s through the PIPELINED multi-page path
     (pipeline/engine.py::process_pages) — the product surface the netra_ocr
     CLI serves (reference ocr_engine.py:37-102, strictly sequential there).
@@ -158,7 +188,6 @@ def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3):
     rng = np.random.RandomState(11)
     gen = DocumentTextGenerator(seed=11, augment=False, words_per_sample=(2, 6),
                                 corpus_path="none")
-    lines_per_page = 18
     samples = gen.generate(n_pages * lines_per_page, processes=1)
     page_w, page_h, margin, gap = 1240, 1754, 90, 12
     tmp = Path(tempfile.mkdtemp(prefix="bench_doc_"))
@@ -232,7 +261,8 @@ def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3):
     return rates[1]
 
 
-def bench_train(cfg, batch_size: int = 32, n_chunks: int = 4, label_len: int = 48, mesh=None):
+def bench_train(cfg, batch_size: int = 32, n_chunks: int = 4, label_len: int = 48, mesh=None,
+                reps=(2, 8)):
     """Training throughput: reference-recipe step (Adam, masked CE, teacher
     forcing, batch 32, CNN-Transformer.ipynb [cell 17]) repeated inside one
     jitted fori_loop (the carried TrainState makes iterations truly
@@ -282,11 +312,11 @@ def bench_train(cfg, batch_size: int = 32, n_chunks: int = 4, label_len: int = 4
         return jax.jit(fn)
 
     times = {}
-    for rep in (2, 8):
+    for rep in reps:
         fn = make(rep)
         np.asarray(fn(state))  # compile
         times[rep] = min(_walltime(fn, state) for _ in range(3))
-    per_step = (times[8] - times[2]) / 6
+    per_step = (times[reps[1]] - times[reps[0]]) / (reps[1] - reps[0])
     return batch_size / per_step
 
 
@@ -296,23 +326,34 @@ def _walltime(fn, *args):
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--trace", default=None, help="Capture a jax.profiler trace of the beam-3 run")
-    args = p.parse_args()
+ROWS = ("greedy", "beam3", "e2e", "doc", "train")
+# per-attempt subprocess timeouts (s): generous enough for cold compiles
+# (~1 min/TPU shape; a cache-busted retry recompiles everything)
+_ROW_TIMEOUT = {"greedy": 1500, "beam3": 2400, "e2e": 1800, "doc": 1500, "train": 1500}
 
+
+def _setup(smoke: bool):
+    """Shared per-row initialization (each row runs in its own process)."""
     import jax
     import jax.numpy as jnp
 
     from khmer_ocr_tpu.config import ModelConfig
     from khmer_ocr_tpu.models.ocr_model import init_model
-    from khmer_ocr_tpu.utils.cache import enable_compilation_cache
-    from khmer_ocr_tpu.utils.profiling import profile_trace
 
-    enable_compilation_cache()  # each shape compiles once across bench runs
+    if os.environ.get("KHMER_OCR_NO_COMPILE_CACHE") != "1":
+        from khmer_ocr_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()  # each shape compiles once across bench runs
 
     n_dev = len(jax.devices())
-    cfg = ModelConfig()
+    # smoke mode validates the ORCHESTRATION (rows, retries, the n_dev>1
+    # sharded branch) on a virtual CPU mesh, where the flagship model is far
+    # too slow for one host core — flagship sharded shapes are separately
+    # exercised by __graft_entry__.py::dryrun_multichip on the same mesh
+    cfg = (ModelConfig(emb_dim=128, num_heads=4, enc_layers=1, dec_layers=2,
+                       enc_ffn_dim=256, max_global_len=512, backbone="vgg",
+                       use_bilstm=False)
+           if smoke else ModelConfig())
     params, stats = init_model(jax.random.PRNGKey(0), cfg)
     dtype = jnp.bfloat16
     params = jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
@@ -327,31 +368,142 @@ def main() -> None:
         rep = replicate(mesh)
         params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
         stats = jax.tree.map(lambda x: jax.device_put(x, rep), stats)
+    return params, stats, cfg, dtype, mesh, n_dev
 
+
+def run_row(row: str, smoke: bool, trace: str | None = None) -> dict:
+    """Run one bench row in-process and return its result fields."""
+    global STEPS
+    if smoke:
+        STEPS = 8
+    params, stats, cfg, dtype, mesh, n_dev = _setup(smoke)
     scale = n_dev  # per-bucket batch grows with the mesh (fixed per-chip share)
-    greedy = bench_device(params, stats, cfg, dtype, beam_width=1,
-                          batches=[(256 * scale, 4)], mesh=mesh)
-    mixed = [(256 * scale, 1), (256 * scale, 2), (256 * scale, 4), (256 * scale, 8)]
-    with profile_trace(args.trace, enabled=args.trace is not None):
-        beam3 = bench_device(params, stats, cfg, dtype, beam_width=3, batches=mixed, mesh=mesh)
-    e2e = bench_end_to_end(params, stats, cfg, n_images=768 * scale, mesh=mesh)
-    doc_pages, doc_lines = bench_document(params, stats, cfg)
-    train = bench_train(cfg, batch_size=32 * scale, mesh=mesh)
+    b = (8 if smoke else 256) * scale
+    out: dict = {"row": row, "n_devices": n_dev}
+    if row == "greedy":
+        out["value"] = bench_device(params, stats, cfg, dtype, beam_width=1,
+                                    batches=[(b, 4)], mesh=mesh)
+    elif row == "beam3":
+        from khmer_ocr_tpu.utils.profiling import profile_trace
 
-    vs_baseline = beam3 / (PER_CHIP_TARGET * n_dev)
-    print(json.dumps({
+        mixed = [(b, 1), (b, 2), (b, 4), (b, 8)]
+        with profile_trace(trace, enabled=trace is not None):
+            out["value"] = bench_device(params, stats, cfg, dtype, beam_width=3,
+                                        batches=mixed, mesh=mesh)
+    elif row == "e2e":
+        out["value"] = bench_end_to_end(params, stats, cfg,
+                                        n_images=(32 if smoke else 768) * scale, mesh=mesh)
+    elif row == "doc":
+        pages, lines = (2, 6) if smoke else (12, 18)
+        doc_pages, doc_lines = bench_document(params, stats, cfg, n_pages=pages,
+                                              lines_per_page=lines)
+        out["value"] = doc_pages
+        out["doc_lines_per_sec"] = round(doc_lines, 2)
+    elif row == "train":
+        out["value"] = bench_train(cfg, batch_size=(1 if smoke else 32) * scale,
+                                   n_chunks=(2 if smoke else 4), mesh=mesh,
+                                   reps=((1, 3) if smoke else (2, 8)))
+    else:
+        raise SystemExit(f"unknown row {row!r}")
+    out["value"] = round(out["value"], 2)
+    return out
+
+
+def _parse_last_json(text: str) -> dict | None:
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def orchestrate(args) -> int:
+    """Run every row in its own subprocess with retry + env fallbacks; always
+    print the final JSON line; exit 0 iff the primary (beam3) row succeeded."""
+    results: dict = {}
+    errors: dict = {}
+    heal_wait = 5 if args.smoke else 60
+    for row in ROWS:
+        attempts: list[dict] = [{}, {"KHMER_OCR_NO_COMPILE_CACHE": "1"}]
+        if row == "beam3":
+            attempts.append({"KHMER_OCR_NO_COMPILE_CACHE": "1", "KHMER_OCR_FUSED_DECODE": "0"})
+        cmd = [sys.executable, str(Path(__file__).resolve()), "--inner", "--row", row]
+        if args.smoke:
+            cmd.append("--smoke")
+        if args.trace and row == "beam3":
+            cmd += ["--trace", args.trace]
+        for i, extra_env in enumerate(attempts):
+            if i:
+                # a wedged axon tunnel needs ~1-2 min with NO clients to heal
+                time.sleep(heal_wait)
+            env = {**os.environ, **extra_env}
+            # smoke validates orchestration mechanics, not perf: cap each
+            # attempt so one heavy row (8 virtual devices on few host cores)
+            # cannot stall the whole validation
+            row_timeout = min(_ROW_TIMEOUT[row], 900) if args.smoke else _ROW_TIMEOUT[row]
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=row_timeout, env=env)
+            except subprocess.TimeoutExpired:
+                errors[row] = f"attempt {i + 1}: timeout after {row_timeout}s"
+                continue
+            parsed = _parse_last_json(proc.stdout) if proc.returncode == 0 else None
+            if parsed is not None and "value" in parsed:
+                if extra_env:
+                    parsed["degraded_env"] = sorted(extra_env)
+                results[row] = parsed
+                errors.pop(row, None)
+                break
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            errors[row] = f"attempt {i + 1} rc={proc.returncode}: " + " | ".join(tail[-3:])[-400:]
+
+    beam3 = results.get("beam3")
+    n_dev = next((r["n_devices"] for r in results.values()), 1)
+    report = {
         "metric": "beam3_ocr_throughput",
-        "value": round(beam3, 2),
+        "value": beam3["value"] if beam3 else None,
         "unit": "lines/sec",
-        "vs_baseline": round(vs_baseline, 4),
-        "greedy_lines_per_sec": round(greedy, 2),
-        "e2e_beam3_lines_per_sec": round(e2e, 2),
-        "doc_pages_per_sec": round(doc_pages, 2),
-        "doc_lines_per_sec": round(doc_lines, 2),
-        "train_lines_per_sec": round(train, 2),
+        "vs_baseline": (round(beam3["value"] / (PER_CHIP_TARGET * n_dev), 4) if beam3 else None),
         "n_devices": n_dev,
-    }))
+    }
+    for row, key in (("greedy", "greedy_lines_per_sec"), ("e2e", "e2e_beam3_lines_per_sec"),
+                     ("doc", "doc_pages_per_sec"), ("train", "train_lines_per_sec")):
+        if row in results:
+            report[key] = results[row]["value"]
+    if "doc" in results and "doc_lines_per_sec" in results["doc"]:
+        report["doc_lines_per_sec"] = results["doc"]["doc_lines_per_sec"]
+    degraded = {r: v["degraded_env"] for r, v in results.items() if "degraded_env" in v}
+    if degraded:
+        report["degraded"] = degraded
+    if errors:
+        report["errors"] = errors
+    if args.smoke:
+        report["smoke"] = True
+    print(json.dumps(report))
     sys.stdout.flush()
+    return 0 if beam3 else 1
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--trace", default=None, help="Capture a jax.profiler trace of the beam-3 run")
+    p.add_argument("--smoke", action="store_true", help="tiny shapes (CI / virtual-mesh check)")
+    p.add_argument("--row", choices=ROWS, default=None, help="run a single row")
+    p.add_argument("--inner", action="store_true",
+                   help="run --row in-process (orchestrator child); prints the row JSON")
+    args = p.parse_args()
+
+    if args.inner or args.row:
+        row = args.row or "beam3"
+        out = run_row(row, smoke=args.smoke, trace=args.trace)
+        print(json.dumps(out))
+        sys.stdout.flush()
+        return
+
+    raise SystemExit(orchestrate(args))
 
 
 if __name__ == "__main__":

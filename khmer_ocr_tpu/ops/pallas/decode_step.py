@@ -549,8 +549,8 @@ def fused_decoder_layer_step(weights, x, pos, self_k, self_v, mem_k, mem_v, mem_
     else:
         # streaming/prefetch: K/V stay in HBM; the kernel DMAs them itself
         mem_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
     in_specs = [
         pl.BlockSpec((bt, d), lambda i, sp: (i, 0)),

@@ -187,10 +187,10 @@ def lstm_recurrence(xg, w_hh, hidden: int, with_cell: bool = False):
         grid=(b // bt,),
         out_shape=out_shapes,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xg stays in HBM, DMA'd per step
+            pl.BlockSpec(memory_space=pl.ANY),  # xg stays in HBM, DMA'd per step
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_hh resident in VMEM
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(out_shapes),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shapes),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(xg_tm, w_g)
     h_seq = outs[0][:, :, :h].transpose(1, 0, 2)
