@@ -1,0 +1,144 @@
+"""A/B: beam-3 early-exit device-time savings at flagship shapes.
+
+Every published beam perf number runs the full 64 steps because random weights
+never emit <eos> — the provably-safe early exit (decode/beam.py:237-242: exit
+once no active beam's score bound can beat the best completed beam) never
+fires, making those numbers a worst case. Real checkpoints finish most lines
+in far fewer steps (reference eval lines are ~40-60 chars,
+CNN-Transformer.ipynb [cell 19]), so the real-weight perf depends on the
+early-exit interaction with the stage-sequential cache-window loops
+(decode/beam.py:33: a finished batch must fall through later stages at ~zero
+cost, since each stage's while_loop cond is False on entry).
+
+This script manufactures controllable completion depth WITHOUT trained
+weights: adding a bias b to the <eos> logit of the decode head
+(params.dec.out.b[eos_idx]) makes completion probable after a step count that
+shrinks as b grows — the rest of the model stays the flagship random network,
+so per-step cost is identical to the published bench. For each bias it
+reports the exit step (max first-<eos> position across the batch) and the
+slope-method device time (R decodes inside one jitted fori_loop, same
+protocol as examples/profile_decode.py — wall-clocking single calls measures
+the ~30 ms axon dispatch, not the device).
+
+Two readout subtleties the first run exposed:
+  * the <eos> position in the RETURNED tokens is the best completion's depth,
+    not the loop's exit step — even unbiased random weights retire an <eos>
+    candidate by step ~3 (eos is 1 of 124 tokens; any eos inside a beam's
+    top-K retires), yet the loop still runs all 64 steps because the active-
+    beam bound never falls below that weak completion. The driver bench's
+    worst case is therefore real: completion != exit.
+  * the true exit depth is read from TIME: implied_steps = ms/decode divided
+    by the measured worst-case per-step figure.
+
+Measured v5e-1 (bf16, B=128 images, beam 3, Tm=128, fused kernel, 2026-08):
+  bias=0 : completes at step 3, bound never collapses -> full 64 steps,
+           16.9 ms/decode (= the published 264 us/step worst case)
+  bias=4 : 3.38 ms/decode  (~13 implied steps)   37.8k lines/s device
+  bias=6 : 0.82 ms/decode  (~3 implied steps)   155.6k lines/s device
+  bias=8 : 0.39 ms/decode  (~1.5 implied steps) 325.4k lines/s device
+  max_len=128, bias=6: 1.56 ms/decode vs 154.6 ms at bias=0 — early exit
+           skips the entire second cache-window stage (99x). The bias=0
+           max_len=128 run also characterizes the w=128 stage itself:
+           ~2.1 ms/step there (the fused envelope and DMA volume are sized
+           for the w=64 window; real lines finish long before stage 2, and
+           the published 64-step config never enters it).
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from khmer_ocr_tpu.config import DecodeConfig, ModelConfig
+from khmer_ocr_tpu.decode import beam_decode
+from khmer_ocr_tpu.models.ocr_model import init_model
+from khmer_ocr_tpu.utils.cache import enable_compilation_cache
+
+B, TM = 128, 128
+R_LO, R_HI = 2, 10
+
+
+def biased(params, eos_idx, bias):
+    if bias == 0.0:
+        return params
+    b = params["dec"]["out"]["b"]
+    out = {**params["dec"]["out"], "b": b.at[eos_idx].add(jnp.asarray(bias, b.dtype))}
+    return {**params, "dec": {**params["dec"], "out": out}}
+
+
+def slope_time(decode_fn, params, mem, pad):
+    def make(repeats):
+        def fn(p, m, pd):
+            def body(i, acc):
+                t = decode_fn(p, m, pd)
+                return acc + t[(i % t.shape[0]).astype(jnp.int32), -1].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, repeats, body, jnp.int32(0))
+
+        return jax.jit(fn)
+
+    out = {}
+    for rep in (R_LO, R_HI):
+        fn = make(rep)
+        np.asarray(fn(params, mem, pad))  # compile + warm
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(params, mem, pad))
+            best = min(best, time.perf_counter() - t0)
+        out[rep] = best
+    return (out[R_HI] - out[R_LO]) / (R_HI - R_LO)
+
+
+def run(cfg, params, bias, max_len):
+    dc = DecodeConfig(beam_width=3, max_len=max_len)
+    p = biased(params, dc.eos_idx, bias)
+    r = np.random.RandomState(0)
+    mem = jnp.asarray(r.randn(B, TM, 384).astype(np.float32) * 0.5, dtype=jnp.bfloat16)
+    pad = jnp.zeros((B, TM), bool)
+
+    decode = lambda pp, m, pd: beam_decode(pp, m, pd, cfg, dc)  # noqa: E731
+    toks = np.asarray(jax.jit(decode)(p, mem, pad))
+    eos_pos = np.where((toks == dc.eos_idx).any(axis=1), (toks == dc.eos_idx).argmax(axis=1), -1)
+    done = (eos_pos >= 0).mean()
+
+    per_decode = slope_time(decode, p, mem, pad)
+    row = {
+        "bias": bias,
+        "max_len": max_len,
+        "completed_frac": float(done),
+        # depth of the best COMPLETION (not the loop exit step — see docstring)
+        "best_eos_pos_max": int(eos_pos.max()) if done == 1.0 else None,
+        "best_eos_pos_median": int(np.median(eos_pos[eos_pos >= 0])) if done else None,
+        "ms_per_decode": round(per_decode * 1e3, 2),
+        "device_lines_per_sec": round(B / per_decode),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    enable_compilation_cache()
+    print("devices:", jax.devices(), flush=True)
+    cfg = ModelConfig()
+    params, _ = init_model(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v, params
+    )
+    rows = [run(cfg, params, bias, 64) for bias in (0.0, 4.0, 6.0, 8.0)]
+    # two-stage (max_len=128) check: early completion must skip the second stage
+    rows += [run(cfg, params, bias, 128) for bias in (0.0, 6.0)]
+    worst_per_step = rows[0]["ms_per_decode"] / 64.0  # bias=0 runs all 64 steps
+    for r in rows:
+        if r["max_len"] == 64:
+            r["implied_steps"] = round(r["ms_per_decode"] / worst_per_step, 1)
+    print(json.dumps({"ab_early_exit": rows}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
