@@ -27,8 +27,9 @@ Two readout subtleties the first run exposed:
     top-K retires), yet the loop still runs all 64 steps because the active-
     beam bound never falls below that weak completion. The driver bench's
     worst case is therefore real: completion != exit.
-  * the true exit depth is read from TIME: implied_steps = ms/decode divided
-    by the measured worst-case per-step figure.
+  * the true exit depth is read from TIME: implied_steps_upper = raw ms/decode
+    divided by the measured worst-case per-step figure (an upper bound — the
+    fixed per-decode overhead is folded into the 'steps').
 
 Measured v5e-1 (bf16, B=128 images, beam 3, Tm=128, fused kernel, 2026-08):
   bias=0 : completes at step 3, bound never collapses -> full 64 steps,
@@ -75,7 +76,12 @@ def slope_time(decode_fn, params, mem, pad):
     def make(repeats):
         def fn(p, m, pd):
             def body(i, acc):
-                t = decode_fn(p, m, pd)
+                # Loop-carried perturbation threaded into the INPUT (the
+                # docs/NEXT_STEPS.md gotcha): a body whose inputs don't depend
+                # on the carry is loop-invariant and a future XLA could hoist
+                # it out of the fori_loop, silently measuring one decode.
+                m2 = m + (acc * 0).astype(m.dtype)
+                t = decode_fn(p, m2, pd)
                 return acc + t[(i % t.shape[0]).astype(jnp.int32), -1].astype(jnp.int32)
 
             return jax.lax.fori_loop(0, repeats, body, jnp.int32(0))
@@ -107,7 +113,14 @@ def run(cfg, params, bias, max_len):
     eos_pos = np.where((toks == dc.eos_idx).any(axis=1), (toks == dc.eos_idx).argmax(axis=1), -1)
     done = (eos_pos >= 0).mean()
 
-    per_decode = slope_time(decode, p, mem, pad)
+    slope = slope_time(decode, p, mem, pad)
+    # Sub-ms decodes ride on ~30 ms of host dispatch noise; min-of-3 usually
+    # suffices, but a zero/negative slope would make every derived rate
+    # nonsense — emit null metrics loudly instead (ADVICE r4 #1).
+    valid = slope > 1e-6
+    if not valid:
+        print(f"WARNING: non-positive slope {slope:.3e}s at bias={bias} — "
+              "host-timing noise swamped the device time; metrics nulled", flush=True)
     row = {
         "bias": bias,
         "max_len": max_len,
@@ -115,8 +128,11 @@ def run(cfg, params, bias, max_len):
         # depth of the best COMPLETION (not the loop exit step — see docstring)
         "best_eos_pos_max": int(eos_pos.max()) if done == 1.0 else None,
         "best_eos_pos_median": int(np.median(eos_pos[eos_pos >= 0])) if done else None,
-        "ms_per_decode": round(per_decode * 1e3, 2),
-        "device_lines_per_sec": round(B / per_decode),
+        "ms_per_decode": round(slope * 1e3, 2) if valid else None,
+        # unrounded, for downstream derivation (implied_steps) — the rounded
+        # display value is ~1% off at the fastest configs (ADVICE r4 #2)
+        "ms_per_decode_raw": slope * 1e3 if valid else None,
+        "device_lines_per_sec": round(B / slope) if valid else None,
     }
     print(json.dumps(row), flush=True)
     return row
@@ -133,10 +149,21 @@ def main():
     rows = [run(cfg, params, bias, 64) for bias in (0.0, 4.0, 6.0, 8.0)]
     # two-stage (max_len=128) check: early completion must skip the second stage
     rows += [run(cfg, params, bias, 128) for bias in (0.0, 6.0)]
-    worst_per_step = rows[0]["ms_per_decode"] / 64.0  # bias=0 runs all 64 steps
-    for r in rows:
-        if r["max_len"] == 64:
-            r["implied_steps"] = round(r["ms_per_decode"] / worst_per_step, 1)
+    # bias=0 runs all 64 steps; derive per-step from the UNROUNDED slope.
+    # Sanity-check it against the published v5e figure (264 us/step fused) —
+    # a large departure means either a different TPU generation (fine, note
+    # it) or the fori_loop body got hoisted (the LICM failure mode above).
+    if rows[0]["ms_per_decode_raw"]:
+        worst_per_step = rows[0]["ms_per_decode_raw"] / 64.0
+        if not 0.1 <= worst_per_step <= 0.8:
+            print(f"WARNING: bias=0 per-step {worst_per_step*1e3:.0f} us is far from the "
+                  "published v5e 264 us/step — different TPU generation, or the repeat "
+                  "loop is no longer measuring (LICM hoist?)", flush=True)
+        for r in rows:
+            if r["max_len"] == 64 and r["ms_per_decode_raw"]:
+                # NOTE: includes fixed per-decode overhead (embed/setup), so at
+                # small depths this is an upper bound on true steps, not a count
+                r["implied_steps_upper"] = round(r["ms_per_decode_raw"] / worst_per_step, 1)
     print(json.dumps({"ab_early_exit": rows}), flush=True)
 
 

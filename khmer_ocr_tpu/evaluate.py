@@ -19,7 +19,26 @@ from .metrics import Evaluator
 logger = logging.getLogger(__name__)
 
 
-def make_tpu_recognizer(model_path, vocab_path=None, beam_width: int = 3, batch_size: int = 32):
+def make_tpu_recognizer(model_path, vocab_path=None, beam_width: int = 3, batch_size: int = 32,
+                        binarize: bool = False):
+    if binarize:
+        # The reference's binarize-variant evaluation (CNN-Transformer.ipynb
+        # [cell 20]): Otsu threshold after Gaussian blur before resize. Uses a
+        # dedicated Predictor (not the singleton) so the flag can't leak.
+        import dataclasses
+
+        from .config import OCRConfig
+        from .infer.predictor import Predictor
+
+        cfg = OCRConfig()
+        cfg = cfg.replace(preprocess=dataclasses.replace(cfg.preprocess, binarize=True))
+        predictor = Predictor(model_path=model_path, vocab_path=vocab_path, config=cfg)
+
+        def recognize_fn(paths: list[str]) -> list[str]:
+            return predictor.predict_batch(paths, beam_width=beam_width, batch_size=batch_size)
+
+        return recognize_fn
+
     from .infer.api import recognize_batch
 
     def recognize_fn(paths: list[str]) -> list[str]:
@@ -56,22 +75,48 @@ def main(argv=None) -> int:
     p.add_argument("--beam", type=int, default=3, help="Beam width (reference eval uses 3)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--tesseract", action="store_true", help="Run the Tesseract baseline instead")
+    p.add_argument("--binarize", action="store_true",
+                   help="Otsu-binarize inputs before recognition (reference [cell 20] variant)")
     p.add_argument("--report-dir", default=None, help="Write failure reports + results.json here")
+    p.add_argument("--degraded", action="store_true",
+                   help="Evaluate severity-swept degradations of each split instead of the "
+                        "clean images (data/degrade.py; builds+caches <split>_degraded/)")
+    p.add_argument("--kinds", nargs="+", default=None,
+                   help="Degradation kinds (default: all + 'mix'); with --degraded")
+    p.add_argument("--severities", nargs="+", type=int, default=None,
+                   help="Severities 1-5 to sweep (default: 1 3 5); with --degraded")
+    p.add_argument("--degrade-seed", type=int, default=0)
     args = p.parse_args(argv)
 
     if args.tesseract:
         recognize_fn = make_tesseract_recognizer()
     elif args.model:
-        recognize_fn = make_tpu_recognizer(args.model, args.vocab, args.beam, args.batch_size)
+        recognize_fn = make_tpu_recognizer(args.model, args.vocab, args.beam, args.batch_size,
+                                           binarize=args.binarize)
     else:
         p.error("Provide --model or --tesseract")
         return 2
 
+    splits: list[tuple[str, Path]] = []
+    if args.degraded:
+        from .data.degrade import DEFAULT_KINDS, DEFAULT_SEVERITIES, build_degraded_suite
+
+        kinds = tuple(args.kinds) if args.kinds else DEFAULT_KINDS
+        severities = tuple(args.severities) if args.severities else DEFAULT_SEVERITIES
+        include_mix = args.kinds is None or "mix" in (args.kinds or [])
+        kinds = tuple(k for k in kinds if k != "mix")
+        for split in args.data:
+            suite = build_degraded_suite(split, kinds=kinds, severities=severities,
+                                         seed=args.degrade_seed, include_mix=include_mix)
+            base = Path(split).name
+            splits += [(f"{base}/{name}", path) for name, path in sorted(suite.items())]
+    else:
+        splits = [(Path(s).name, Path(s)) for s in args.data]
+
     evaluator = Evaluator(recognize_fn)
     results = {}
-    for split in args.data:
-        name = Path(split).name
-        report = Path(args.report_dir) / f"{name}_failures.txt" if args.report_dir else None
+    for name, split in splits:
+        report = Path(args.report_dir) / f"{name.replace('/', '_')}_failures.txt" if args.report_dir else None
         if report:
             report.parent.mkdir(parents=True, exist_ok=True)
         res = evaluator.evaluate_split(split, report_path=report)
