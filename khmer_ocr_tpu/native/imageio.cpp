@@ -279,12 +279,10 @@ static bool decode_any(const char *path, Gray &g) {
     return ok;
 }
 
-// one image: decode -> resize to (out_h, max(min_w, int(out_h * w/h))) with
-// output columns capped at cap_w (identical to full resize + column truncation
+// resize a decoded Gray to (out_h, max(min_w, int(out_h * w/h))) with output
+// columns capped at cap_w (identical to full resize + column truncation
 // because both resample passes are per-output-column independent).
-static int load_one(const char *path, int out_h, int min_w, int cap_w, uint8_t *out, int *out_w) {
-    Gray g;
-    if (!decode_any(path, g) || g.w <= 0 || g.h <= 0) return 1;
+static int resize_capped(const Gray &g, int out_h, int min_w, int cap_w, uint8_t *out, int *out_w) {
     double aspect = (double)g.w / (double)g.h;
     int new_w = (int)(out_h * aspect);  // int() truncation, reference arithmetic
     if (new_w < min_w) new_w = min_w;
@@ -330,6 +328,42 @@ static int load_one(const char *path, int out_h, int min_w, int cap_w, uint8_t *
     return 0;
 }
 
+static int load_one(const char *path, int out_h, int min_w, int cap_w, uint8_t *out, int *out_w) {
+    Gray g;
+    if (!decode_any(path, g) || g.w <= 0 || g.h <= 0) return 1;
+    return resize_capped(g, out_h, min_w, cap_w, out, out_w);
+}
+
+// In-memory source -> Gray. channels: 1 (gray), 3 (RGB), 4 (RGBA; alpha
+// dropped, same as the PNG path / PIL convert("L")). row_stride in BYTES.
+static int gray_from_mem(const uint8_t *px, int in_h, int in_w, int channels,
+                         int64_t row_stride, Gray &g) {
+    if (in_h <= 0 || in_w <= 0 || px == nullptr) return 1;
+    if (channels != 1 && channels != 3 && channels != 4) return 1;
+    g.w = in_w;
+    g.h = in_h;
+    g.px.resize((size_t)in_w * in_h);
+    for (int y = 0; y < in_h; y++) {
+        const uint8_t *r = px + (size_t)y * row_stride;
+        uint8_t *o = &g.px[(size_t)y * in_w];
+        if (channels == 1) {
+            memcpy(o, r, in_w);
+        } else {
+            for (int x = 0; x < in_w; x++)
+                o[x] = rgb_to_l(r[channels * x], r[channels * x + 1], r[channels * x + 2]);
+        }
+    }
+    return 0;
+}
+
+static int resize_one_mem(const uint8_t *px, int in_h, int in_w, int channels,
+                          int64_t row_stride, int out_h, int min_w, int cap_w,
+                          uint8_t *out, int *out_w) {
+    Gray g;
+    if (gray_from_mem(px, in_h, in_w, channels, row_stride, g) != 0) return 1;
+    return resize_capped(g, out_h, min_w, cap_w, out, out_w);
+}
+
 }  // namespace
 
 extern "C" {
@@ -359,6 +393,47 @@ void kh_load_resize_gray_batch(const char **paths, int64_t n, int out_h, int min
             if (i >= n) break;
             errs[i] = kh_load_resize_gray(paths[i], out_h, min_w, cap_w,
                                           outs + (size_t)i * stride, &out_ws[i]);
+        }
+    };
+    if (n_threads <= 1) {
+        worker();
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(worker);
+    for (auto &t : ts) t.join();
+}
+
+// Resize an in-memory uint8 image (gray/RGB/RGBA) — the crops-from-memory
+// entry point: detection emits page crops as arrays, not files, and the
+// document pipeline otherwise falls back to GIL-held PIL for every crop
+// (round-3 priority #3). Same Pillow-exact arithmetic as the file path.
+// row_stride in bytes. Returns 0 on success.
+int kh_resize_gray_mem(const uint8_t *px, int in_h, int in_w, int channels,
+                       int64_t row_stride, int out_h, int min_w, int cap_w,
+                       uint8_t *out, int *out_w) {
+    return resize_one_mem(px, in_h, in_w, channels, row_stride, out_h, min_w, cap_w, out, out_w);
+}
+
+// Batch version on a thread pool. pxs: n pointers; in_hs/in_ws/channels_a/
+// strides: n entries; outs: n * (out_h * cap_w) uint8; out_ws/errs: n ints.
+void kh_resize_gray_mem_batch(const uint8_t **pxs, const int *in_hs, const int *in_ws,
+                              const int *channels_a, const int64_t *strides, int64_t n,
+                              int out_h, int min_w, int cap_w, uint8_t *outs,
+                              int *out_ws, int *errs, int n_threads) {
+    if (n_threads <= 0) {
+        unsigned hc = std::thread::hardware_concurrency();
+        n_threads = hc ? (int)hc : 1;
+    }
+    if (n_threads > n) n_threads = (int)n;
+    std::atomic<int64_t> next(0);
+    size_t stride = (size_t)out_h * cap_w;
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) break;
+            errs[i] = resize_one_mem(pxs[i], in_hs[i], in_ws[i], channels_a[i], strides[i],
+                                     out_h, min_w, cap_w, outs + (size_t)i * stride, &out_ws[i]);
         }
     };
     if (n_threads <= 1) {

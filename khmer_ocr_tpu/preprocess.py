@@ -163,24 +163,56 @@ class Preprocessor:
         line = resize_line(load_grayscale(image_source), self.cfg)
         return normalize(chunk_line(line, self.cfg, n_chunks))
 
+    def _cap_w(self) -> int:
+        cfg = self.cfg
+        return (self.runtime.chunk_buckets[-1] - 1) * cfg.chunk_stride + cfg.chunk_width
+
+    @staticmethod
+    def _mem_array(src) -> np.ndarray | None:
+        """Coerce an in-memory source to a uint8 array the native resize takes
+        (2D gray or HxWx{1,3,4}); None -> caller uses the PIL path."""
+        if isinstance(src, Image.Image):
+            if src.mode not in ("L", "RGB", "RGBA"):
+                src = src.convert("L")  # PIL's own mode conversion, then native resize
+            return np.asarray(src)
+        if isinstance(src, np.ndarray):
+            arr = src
+            if arr.dtype != np.uint8:  # same scaling as load_grayscale
+                arr = np.clip(arr * 255.0 if arr.max() <= 1.0 else arr, 0, 255).astype(np.uint8)
+            if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] in (1, 3, 4)):
+                return arr
+        return None
+
     def _load_line(self, src) -> np.ndarray:
         """Decode+grayscale+resize one source -> float32 (H, W) in [0, 1].
 
         File paths take the native C++ loader (native/imageio.cpp —
         Pillow-bit-exact for PNG, GIL-free, so the thread-pool workers in
-        `iter_batches` actually run in parallel); anything else — PIL images,
-        arrays, exotic formats, the binarize variant — uses the PIL path.
+        `iter_batches` actually run in parallel). In-memory crops (PIL images
+        and uint8 arrays — what detection emits) take the native memory entry
+        point (kh_resize_gray_mem, same Pillow-exact arithmetic; round-3
+        priority #3). Exotic formats and the binarize variant use PIL.
         """
         cfg = self.cfg
-        if not cfg.binarize and isinstance(src, (str, Path)):
-            from .native.imageio import load_resize_gray
+        if not cfg.binarize:
+            if isinstance(src, (str, Path)):
+                from .native.imageio import load_resize_gray
 
-            cap_w = (self.runtime.chunk_buckets[-1] - 1) * cfg.chunk_stride + cfg.chunk_width
-            line = load_resize_gray(src, out_h=cfg.img_height, min_w=cfg.min_width, cap_w=cap_w)
-            if line is not None:
-                return line
-            if not Path(src).exists():
-                raise FileNotFoundError(f"Image not found: {src}")
+                line = load_resize_gray(src, out_h=cfg.img_height, min_w=cfg.min_width,
+                                        cap_w=self._cap_w())
+                if line is not None:
+                    return line
+                if not Path(src).exists():
+                    raise FileNotFoundError(f"Image not found: {src}")
+            else:
+                arr = self._mem_array(src)
+                if arr is not None:
+                    from .native.imageio import resize_gray_mem
+
+                    line = resize_gray_mem(arr, out_h=cfg.img_height, min_w=cfg.min_width,
+                                           cap_w=self._cap_w())
+                    if line is not None:
+                        return line
         return resize_line(load_grayscale(src), cfg)
 
     def _load_line_u8(self, src) -> np.ndarray:
@@ -190,16 +222,25 @@ class Preprocessor:
         this is the lossless form of ``_load_line`` (device normalization
         reproduces the float values exactly)."""
         cfg = self.cfg
-        if not cfg.binarize and isinstance(src, (str, Path)):
-            from .native.imageio import load_resize_gray
+        if not cfg.binarize:
+            if isinstance(src, (str, Path)):
+                from .native.imageio import load_resize_gray
 
-            cap_w = (self.runtime.chunk_buckets[-1] - 1) * cfg.chunk_stride + cfg.chunk_width
-            line = load_resize_gray(src, out_h=cfg.img_height, min_w=cfg.min_width,
-                                    cap_w=cap_w, as_uint8=True)
-            if line is not None:
-                return line
-            if not Path(src).exists():
-                raise FileNotFoundError(f"Image not found: {src}")
+                line = load_resize_gray(src, out_h=cfg.img_height, min_w=cfg.min_width,
+                                        cap_w=self._cap_w(), as_uint8=True)
+                if line is not None:
+                    return line
+                if not Path(src).exists():
+                    raise FileNotFoundError(f"Image not found: {src}")
+            else:
+                arr = self._mem_array(src)
+                if arr is not None:
+                    from .native.imageio import resize_gray_mem
+
+                    line = resize_gray_mem(arr, out_h=cfg.img_height, min_w=cfg.min_width,
+                                           cap_w=self._cap_w(), as_uint8=True)
+                    if line is not None:
+                        return line
         image = load_grayscale(src)
         if cfg.binarize:
             image = binarize_image(image)

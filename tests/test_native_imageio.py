@@ -127,3 +127,72 @@ def test_preprocessor_native_path_matches_pil(tmp_path):
 def test_preprocessor_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         Preprocessor()._prepare_one("/nonexistent/file.png")
+
+
+# ---------------------------------------------------------------------------
+# Crops-from-memory entry point (kh_resize_gray_mem; round-3 priority #3):
+# detection emits PIL/numpy crops — the recognition feed must hit the native
+# resize without a file round-trip, bit-exact with the PIL path.
+# ---------------------------------------------------------------------------
+
+from khmer_ocr_tpu.native.imageio import resize_gray_mem, resize_gray_mem_batch  # noqa: E402
+
+
+@pytest.mark.parametrize("shape,mode", [
+    ((60, 300), "L"), ((37, 511), "RGB"), ((100, 80), "RGBA"),
+    ((13, 40), "L"), ((97, 977), "RGB"), ((200, 31), "L"), ((48, 100), "L"),
+])
+def test_mem_resize_bit_exact_vs_pil(shape, mode):
+    rng = np.random.RandomState(hash((shape, mode)) % 2**31)
+    h, w = shape
+    ch = {"L": (), "RGB": (3,), "RGBA": (4,)}[mode]
+    arr = rng.randint(0, 256, (h, w, *ch), np.uint8)
+    ref = _pil_reference(Image.fromarray(arr, mode))
+    got = resize_gray_mem(arr)
+    assert got is not None and got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_mem_resize_noncontiguous_rows():
+    rng = np.random.RandomState(7)
+    big = rng.randint(0, 256, (50, 400), np.uint8)
+    view = big[5:45, 30:330]  # row-stride gap: a crop window, the real use case
+    assert not view.flags["C_CONTIGUOUS"]
+    ref = _pil_reference(Image.fromarray(np.ascontiguousarray(view), "L"))
+    np.testing.assert_array_equal(resize_gray_mem(view), ref)
+
+
+def test_mem_batch_parity_and_errors():
+    rng = np.random.RandomState(11)
+    imgs = [
+        rng.randint(0, 256, (40, 200), np.uint8),
+        rng.randint(0, 256, (60, 90, 3), np.uint8),
+        np.zeros((30, 50), np.float32),  # wrong dtype -> errs != 0
+        rng.randint(0, 256, (25, 600), np.uint8),
+    ]
+    out = resize_gray_mem_batch(imgs, n_threads=2)
+    assert out is not None
+    bufs, widths, errs = out
+    assert errs[2] != 0 and all(errs[i] == 0 for i in (0, 1, 3))
+    for i in (0, 1, 3):
+        img = imgs[i]
+        mode = "L" if img.ndim == 2 else "RGB"
+        ref = _pil_reference(Image.fromarray(img, mode))
+        keep = min(int(widths[i]), bufs.shape[2])
+        np.testing.assert_array_equal(bufs[i, :, :keep].astype(np.float32) / 255.0, ref)
+
+
+def test_preprocessor_mem_crop_matches_pil_everywhere():
+    """The full prepare path on in-memory crops (uint8 array, PIL L, PIL RGB)
+    must equal the PIL fallback bit-for-bit — both payload layouts."""
+    rng = np.random.RandomState(23)
+    crop = rng.randint(0, 256, (33, 340), np.uint8)
+    sources = [crop, Image.fromarray(crop, "L"),
+               Image.fromarray(np.stack([crop] * 3, -1), "RGB")]
+    pre = Preprocessor(PreprocessConfig())
+    for src in sources:
+        native_f = pre._load_line(src)
+        native_u8 = pre._load_line_u8(src)
+        ref = resize_line(load_grayscale(src), pre.cfg)
+        np.testing.assert_array_equal(native_f, ref)
+        np.testing.assert_array_equal(native_u8.astype(np.float32) / 255.0, ref)
