@@ -44,6 +44,16 @@ class KhmerOCRPipeline:
         elif engine != "surya":
             raise ValueError(f"Unknown engine {engine!r} (use 'surya' or 'custom')")
 
+    def _crops_from_elements(self, img: Image.Image, elements, padding: int) -> list[Image.Image]:
+        text_elements = [e for e in elements if e[1] in self.text_ids]
+        text_elements.sort(key=lambda e: e[0][1])  # top-to-bottom
+        w, h = img.size
+        return [
+            img.crop((max(0, x1 - padding), max(0, y1 - padding),
+                      min(w, x2 + padding), min(h, y2 + padding)))
+            for (x1, y1, x2, y2), _ in text_elements
+        ]
+
     def _detect_crops(self, image_path: str, padding: int) -> list[Image.Image]:
         if self.engine == "surya":
             from ..detection.surya import run_textline_detector
@@ -52,16 +62,23 @@ class KhmerOCRPipeline:
             return [c for c, _ in crops_with_coords]
         img = Image.open(image_path).convert("RGB")
         _, elements = self.detector.run(image_path)
-        text_elements = [e for e in elements if e[1] in self.text_ids]
-        text_elements.sort(key=lambda e: e[0][1])  # top-to-bottom
-        w, h = img.size
-        crops = []
-        for (x1, y1, x2, y2), _ in text_elements:
-            crops.append(img.crop((
-                max(0, x1 - padding), max(0, y1 - padding),
-                min(w, x2 + padding), min(h, y2 + padding),
-            )))
-        return crops
+        return self._crops_from_elements(img, elements, padding)
+
+    def _detect_crops_batch(self, image_paths: list, padding: int) -> list[list[Image.Image]]:
+        """Detection for a GROUP of pages. engine='custom' batches the
+        SegFormer forwards into one device program per group and transfers
+        model-resolution maps (detection/detector.py::predict_maps_batch —
+        the round-4 doc-throughput fix); surya stays per-page."""
+        if self.engine != "custom" or getattr(self, "detector", None) is None:
+            return [self._detect_crops(p, padding) for p in image_paths]
+        images = [Image.open(p).convert("RGB") for p in image_paths]
+        from ..detection.postprocess import extract_layout_elements
+
+        out = []
+        for img, (_, cm, hm) in zip(images, self.detector.predict_maps_batch(images, group=4)):
+            _, elements = extract_layout_elements(img, cm, hm, self.detector.cfg)
+            out.append(self._crops_from_elements(img, elements, padding))
+        return out
 
     def process_image(self, image_path: str, output_path: str | None = None,
                       save_debug: bool = False, padding: int = 6,
@@ -95,18 +112,24 @@ class KhmerOCRPipeline:
 
     def process_pages(self, image_paths, output_dir: str | None = None,
                       padding: int = 6, beam_width: int = 3, batch_size: int = 64,
-                      pages_per_batch: int = 4, queue_depth: int = 4) -> list[str]:
+                      pages_per_batch: int = 4, queue_depth: int = 4,
+                      flush_lines: int = 256) -> list[str]:
         """Pipelined multi-page OCR (the serving path for documents).
 
         A detection worker thread streams per-page crop lists through a
         bounded queue while the main thread batch-recognizes them — so page
-        N+1's detection (brief device forward + heavy host CV postprocess)
-        overlaps page N's TPU decode instead of starving it (SURVEY §7
-        hard-part 6; the reference processes pages strictly sequentially,
-        ocr_engine.py:37-102). Crops from up to ``pages_per_batch`` pages go
-        through ONE recognize_batch call so width bucketing and grouped
-        dispatch amortize across pages. Returns the per-page texts; with
-        ``output_dir`` each page also writes ``<stem>.txt``.
+        N+1's detection overlaps page N's TPU decode instead of starving it
+        (SURVEY §7 hard-part 6; the reference processes pages strictly
+        sequentially, ocr_engine.py:37-102). The worker detects in GROUPS of
+        ``pages_per_batch`` pages — with engine='custom' that is one batched
+        SegFormer program + one model-resolution transfer per group
+        (_detect_crops_batch) instead of a lone dispatch per page.
+
+        Recognition flushes once the pending crops reach ``flush_lines``
+        (default 256 — full device-rate buckets; the round-4 VERDICT fix for
+        page-sized 18-line batches) or at end of stream, whichever first.
+        Returns the per-page texts; with ``output_dir`` each page also
+        writes ``<stem>.txt``.
         """
         import queue as queue_mod
         import threading
@@ -114,11 +137,14 @@ class KhmerOCRPipeline:
         paths = [str(p) for p in image_paths]
         q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, queue_depth))
         worker_err: list[BaseException] = []
+        group = max(1, pages_per_batch)
 
         def detect_worker():
             try:
-                for i, path in enumerate(paths):
-                    q.put((i, self._detect_crops(path, padding)))
+                for g0 in range(0, len(paths), group):
+                    part = paths[g0 : g0 + group]
+                    for i, crops in enumerate(self._detect_crops_batch(part, padding)):
+                        q.put((g0 + i, crops))
             except BaseException as e:  # surfaced in the main thread
                 worker_err.append(e)
             finally:
@@ -142,10 +168,13 @@ class KhmerOCRPipeline:
                     off += len(crops)
             pending.clear()
 
+        n_pending_lines = 0
         while (item := q.get()) is not None:
             pending.append(item)
-            if len(pending) >= pages_per_batch:
+            n_pending_lines += len(item[1])
+            if n_pending_lines >= flush_lines:
                 flush()
+                n_pending_lines = 0
         flush()
         t.join()
         if worker_err:

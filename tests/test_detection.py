@@ -192,3 +192,31 @@ def test_layout_inference_size_buckets(oracle):
     assert cm_e.dtype == np.int32 and hm_e.dtype == np.float32
     np.testing.assert_array_equal(cm, cm_e)
     np.testing.assert_allclose(hm, hm_e, atol=0.5 / 255 + 1e-6)
+
+
+def test_predict_maps_batch_matches_per_page(oracle):
+    """Batched model-resolution transfer (predict_maps_batch): maps come back
+    at each page's own size, class maps agree with the per-page path over
+    nearly all pixels (boundary rows may shift a few px — the documented
+    semantics difference), and mixed page sizes share ONE compiled program."""
+    from khmer_ocr_tpu.detection.config import LayoutConfig
+    from khmer_ocr_tpu.detection.detector import LayoutInference
+    from khmer_ocr_tpu.detection.segformer import SegFormerConfig, convert_hf_state_dict
+
+    sd = {k[3:]: v for k, v in oracle.items() if k.startswith("sd/")}
+    params = convert_hf_state_dict(sd)
+    det = LayoutInference(model_dir=None, params=params, seg_cfg=SegFormerConfig(),
+                          config=LayoutConfig(image_size=128))
+    rng = np.random.RandomState(0)
+    pages = [Image.fromarray(rng.randint(200, 256, (h, w, 3), np.uint8))
+             for h, w in [(333, 205), (180, 260), (333, 205)]]
+    out = det.predict_maps_batch(pages, group=2)  # 3 pages -> group of 2 + padded 1
+    assert len(out) == 3
+    for (img, cm, hm), page in zip(out, pages):
+        assert cm.shape == (page.height, page.width)
+        assert hm.shape == (page.height, page.width)
+        assert cm.dtype == np.int32 and 0.0 <= hm.max() <= 1.0001
+        _, cm_pp, hm_pp = det.predict_maps(page)
+        agree = (cm == cm_pp).mean()
+        assert agree > 0.95, f"class maps diverged: {agree:.3f}"
+        assert abs(float(hm.mean()) - float(hm_pp.mean())) < 0.05
