@@ -100,6 +100,9 @@ def main() -> int:
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--processes", type=int, default=1)
     p.add_argument("--workdir", type=str, default="/root/ref_scale_run")
+    p.add_argument("--corpus-dir", type=str, default=None,
+                   help="Directory holding/receiving the cached corpus + eval splits "
+                        "(default: workdir). Lets per-backbone runs share one corpus.")
     p.add_argument("--backbone", type=str, default="se_vgg")
     p.add_argument("--resume", type=str, default=None, help="'auto' or a checkpoint dir")
     p.add_argument("--data-parallel", action="store_true")
@@ -125,7 +128,9 @@ def main() -> int:
 
     work = Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
-    samples, _cache = build_corpus(work, args.train_n, args.eval_n, args.processes)
+    corpus_dir = Path(args.corpus_dir) if args.corpus_dir else work
+    corpus_dir.mkdir(parents=True, exist_ok=True)
+    samples, _cache = build_corpus(corpus_dir, args.train_n, args.eval_n, args.processes)
     if args.corpus_only:
         logger.info("corpus-only run complete (%d lines)", len(samples))
         return 0
@@ -177,7 +182,7 @@ def main() -> int:
     for split in ("eval_doc", "eval_scene"):
         for beam in (1, 3):
             ev = Evaluator(lambda paths, b=beam: predictor.predict_batch(paths, beam_width=b, batch_size=64))
-            res = ev.evaluate_split(work / split, report_path=work / f"{split}_failures_beam{beam}.txt")
+            res = ev.evaluate_split(corpus_dir / split, report_path=work / f"{split}_failures_beam{beam}.txt")
             logger.info("EVAL %s beam=%d: %s", split, beam, res.summary())
             results[f"{split}_beam{beam}"] = {
                 "mean_cer": res.mean_cer, "exact_match": res.exact_match_accuracy, "n": res.num_samples,
