@@ -51,6 +51,9 @@ import numpy as np
 
 STEPS = 64  # typical text line is ~40-60 chars
 PER_CHIP_TARGET = 5000.0 / 8.0  # north-star v5e-8 pro-rated per chip
+# first-party trained checkpoint persisted in-repo (examples/persist_checkpoint.py);
+# when present, the 'real' row reports beam-3 WITH early exit live + a CER gate
+REAL_CKPT = Path(__file__).resolve().parent / "checkpoints" / "se_vgg_flagship"
 
 
 def _rand_chunks(rng, b, n, dtype):
@@ -229,18 +232,26 @@ def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3,
                                 max_len=STEPS)
     )
 
-    def detect_crops(page_path, padding):
-        boxes = boxes_by_page[str(page_path)]
-        image, cm, hm = detector.predict_maps(page_path)  # real device forward
-        cm = np.zeros_like(cm)
-        hm = np.full_like(hm, 0.9)
-        for (x0, y0, x1, y1) in boxes:
-            cm[y0:y1, x0:x1] = 10  # DocLayNet "Text"
-        extract_layout_elements(image, cm, hm, detector.cfg)  # real CV postprocess
-        img = Image.open(page_path)
-        return [np.asarray(img.crop(b).convert("L")) for b in boxes]
+    def detect_crops_batch(page_paths, padding):
+        # real BATCHED device forwards + model-resolution transfers
+        # (detection/detector.py::predict_maps_batch), painted class maps
+        # (random weights emit noise maps — see docstring), real CV postprocess.
+        # Pages decode ONCE (PIL) and the same image feeds both the device
+        # prep and the line crops — the engine's real path does the same.
+        pages_pil = [Image.open(p) for p in page_paths]
+        out = []
+        for page_path, page_img, (image, cm, hm) in zip(
+                page_paths, pages_pil, detector.predict_maps_batch(pages_pil)):
+            boxes = boxes_by_page[str(page_path)]
+            cm = np.zeros_like(cm)
+            hm = np.full_like(hm, 0.9)
+            for (x0, y0, x1, y1) in boxes:
+                cm[y0:y1, x0:x1] = 10  # DocLayNet "Text"
+            extract_layout_elements(image, cm, hm, detector.cfg)  # real CV postprocess
+            out.append([np.asarray(page_img.crop(b).convert("L")) for b in boxes])
+        return out
 
-    pipe._detect_crops = detect_crops
+    pipe._detect_crops_batch = detect_crops_batch
 
     # two full warm passes over the REAL page set (the e2e methodology): the
     # first compiles every single-bucket program the workload hits, the second
@@ -259,6 +270,81 @@ def bench_document(params, stats, cfg, n_pages: int = 12, beam_width: int = 3,
         rates.append((n_pages / dt, n_lines / dt))
     rates.sort()
     return rates[1]
+
+
+def bench_real_weights(beam_width: int = 3, max_len: int = 64, n_lines: int = 512):
+    """Beam-3 device rate with the TRAINED in-repo checkpoint: early exit live.
+
+    Every other row uses random weights (decode always runs all STEPS — the
+    conservative worst case). This row decodes real rendered Khmer lines with
+    the persisted flagship weights, where lines finish in ~len(text)+1 steps
+    and the provably-safe early exit truncates the while_loop on device
+    (decode/beam.py). Also reports CER on those lines — a per-round accuracy
+    regression gate riding along with the perf row (round-4 VERDICT #3).
+    Returns (lines_per_sec, cer_pct, emitted_len_mean)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from khmer_ocr_tpu.config import DecodeConfig, OCRConfig
+    from khmer_ocr_tpu.data.generator import DocumentTextGenerator
+    from khmer_ocr_tpu.decode import beam_decode
+    from khmer_ocr_tpu.metrics import calculate_cer
+    from khmer_ocr_tpu.models.layers import Ctx
+    from khmer_ocr_tpu.models.ocr_model import encode
+    from khmer_ocr_tpu.preprocess import Preprocessor
+    from khmer_ocr_tpu.tokenizer import Tokenizer
+    from khmer_ocr_tpu.train.checkpoint import load_checkpoint
+
+    params, stats, mcfg = load_checkpoint(REAL_CKPT)
+    cast = lambda t: jax.tree.map(
+        lambda v: jnp.asarray(v, jnp.bfloat16) if np.asarray(v).dtype in (np.float32,) else jnp.asarray(v), t)
+    params, stats = cast(params), cast(stats)
+    tok = Tokenizer()
+
+    from PIL import Image
+
+    gen = DocumentTextGenerator(seed=123, augment=False, words_per_sample=(2, 6))
+    samples = gen.generate(n_lines, processes=1)
+    runtime = dataclasses.replace(OCRConfig().runtime, transfer_uint8=False, transfer_lines=False)
+    pre = Preprocessor(OCRConfig().preprocess, runtime)
+    batches = list(pre.iter_batches([Image.fromarray(img) for img, _ in samples],
+                                    max_batch=n_lines))
+    big = max(batches, key=lambda b: len(b.indices))
+
+    ctx = Ctx(num_heads=mcfg.num_heads, dropout=0.0, deterministic=True)
+    enc = jax.jit(lambda p, s, c, n: encode(p, s, c, n, mcfg, ctx)[:2])
+    memory, pad = enc(params, stats, jnp.asarray(big.chunks, jnp.bfloat16),
+                      jnp.asarray(big.chunk_counts))
+    memory = jax.block_until_ready(memory)
+
+    dc = DecodeConfig(beam_width=beam_width, max_len=max_len)
+    dec = lambda p, m, pd: beam_decode(p, m, pd, mcfg, dc)
+    toks = np.asarray(jax.jit(dec)(params, memory, pad))
+    hyp = tok.decode_batch(toks)
+    refs = [samples[i][1] for i in big.indices]
+    cer = float(np.mean([calculate_cer(r, h) for r, h in zip(refs, hyp)])) * 100.0
+    emitted = float((toks != tok.pad_idx).sum(axis=1).mean())
+
+    # slope method with a loop-carried input perturbation (LICM guard)
+    def make(rep):
+        def fn(p, m, pd):
+            def body(i, acc):
+                t = dec(p, m + (acc * 0).astype(m.dtype), pd)
+                return acc + t[(i % t.shape[0]).astype(jnp.int32), -1].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, rep, body, jnp.int32(0))
+
+        return jax.jit(fn)
+
+    times = {}
+    for rep in (2, 10):
+        fn = make(rep)
+        np.asarray(fn(params, memory, pad))
+        times[rep] = min(_walltime(fn, params, memory, pad) for _ in range(3))
+    per_decode = max((times[10] - times[2]) / 8.0, 1e-9)
+    return memory.shape[0] / per_decode, cer, emitted
 
 
 def bench_train(cfg, batch_size: int = 32, n_chunks: int = 4, label_len: int = 48, mesh=None,
@@ -326,10 +412,11 @@ def _walltime(fn, *args):
     return time.perf_counter() - t0
 
 
-ROWS = ("greedy", "beam3", "e2e", "doc", "train")
+ROWS = ("greedy", "beam3", "e2e", "doc", "train", "real")
 # per-attempt subprocess timeouts (s): generous enough for cold compiles
 # (~1 min/TPU shape; a cache-busted retry recompiles everything)
-_ROW_TIMEOUT = {"greedy": 1500, "beam3": 2400, "e2e": 1800, "doc": 1500, "train": 1500}
+_ROW_TIMEOUT = {"greedy": 1500, "beam3": 2400, "e2e": 1800, "doc": 1500, "train": 1500,
+                "real": 1500}
 
 
 def _setup(smoke: bool):
@@ -403,6 +490,11 @@ def run_row(row: str, smoke: bool, trace: str | None = None) -> dict:
         out["value"] = bench_train(cfg, batch_size=(1 if smoke else 32) * scale,
                                    n_chunks=(2 if smoke else 4), mesh=mesh,
                                    reps=((1, 3) if smoke else (2, 8)))
+    elif row == "real":
+        lps, cer, emitted = bench_real_weights(n_lines=64 if smoke else 512)
+        out["value"] = lps
+        out["real_cer_pct"] = round(cer, 3)
+        out["emitted_len_mean"] = round(emitted, 1)
     else:
         raise SystemExit(f"unknown row {row!r}")
     out["value"] = round(out["value"], 2)
@@ -425,8 +517,12 @@ def orchestrate(args) -> int:
     print the final JSON line; exit 0 iff the primary (beam3) row succeeded."""
     results: dict = {}
     errors: dict = {}
+    skipped: dict = {}
     heal_wait = 5 if args.smoke else 60
     for row in ROWS:
+        if row == "real" and not (REAL_CKPT / "state").exists():
+            skipped[row] = "no in-repo checkpoint (checkpoints/se_vgg_flagship)"
+            continue
         attempts: list[dict] = [{}, {"KHMER_OCR_NO_COMPILE_CACHE": "1"}]
         if row == "beam3":
             attempts.append({"KHMER_OCR_NO_COMPILE_CACHE": "1", "KHMER_OCR_FUSED_DECODE": "0"})
@@ -470,14 +566,19 @@ def orchestrate(args) -> int:
         "n_devices": n_dev,
     }
     for row, key in (("greedy", "greedy_lines_per_sec"), ("e2e", "e2e_beam3_lines_per_sec"),
-                     ("doc", "doc_pages_per_sec"), ("train", "train_lines_per_sec")):
+                     ("doc", "doc_pages_per_sec"), ("train", "train_lines_per_sec"),
+                     ("real", "real_beam3_lines_per_sec")):
         if row in results:
             report[key] = results[row]["value"]
     if "doc" in results and "doc_lines_per_sec" in results["doc"]:
         report["doc_lines_per_sec"] = results["doc"]["doc_lines_per_sec"]
+    if "real" in results:
+        report["real_cer_pct"] = results["real"].get("real_cer_pct")
     degraded = {r: v["degraded_env"] for r, v in results.items() if "degraded_env" in v}
     if degraded:
         report["degraded"] = degraded
+    if skipped:
+        report["skipped"] = skipped
     if errors:
         report["errors"] = errors
     if args.smoke:

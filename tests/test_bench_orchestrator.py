@@ -58,7 +58,28 @@ def test_all_rows_succeed(monkeypatch, capsys):
     assert report["value"] == 42.0 and report["unit"] == "lines/sec"
     assert report["vs_baseline"] == round(42.0 / bench.PER_CHIP_TARGET, 4)
     assert "errors" not in report and "degraded" not in report
-    assert calls == list(bench.ROWS)  # one attempt each, no retries
+    # the 'real' row only runs when the in-repo checkpoint exists
+    expect = [r for r in bench.ROWS
+              if r != "real" or (bench.REAL_CKPT / "state").exists()]
+    assert calls == expect  # one attempt each, no retries
+    if "real" not in expect:
+        assert "checkpoint" in report["skipped"]["real"]
+
+
+def test_real_row_runs_when_checkpoint_present(monkeypatch, capsys, tmp_path):
+    (tmp_path / "ck" / "state").mkdir(parents=True)
+    monkeypatch.setattr(bench, "REAL_CKPT", tmp_path / "ck")
+    calls = []
+
+    def fake_run(cmd, **kw):
+        row = cmd[cmd.index("--row") + 1]
+        calls.append(row)
+        return _Proc(stdout=_row_json(row, value=9000.0))
+
+    rc, report = _run(monkeypatch, capsys, fake_run)
+    assert rc == 0
+    assert "real" in calls and report["real_beam3_lines_per_sec"] == 9000.0
+    assert "skipped" not in report
 
 
 def test_primary_recovers_under_fallback_env(monkeypatch, capsys):
