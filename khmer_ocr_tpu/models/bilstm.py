@@ -90,8 +90,10 @@ def flip_within_length(x, lengths):
 def bilstm_apply(p, x, lengths=None, use_pallas: bool | None = None):
     """Bidirectional LSTM: concat(forward, length-aware backward) -> (B, T, 2H).
 
-    ``use_pallas=False`` forces the differentiable `lax.scan` path — the Pallas
-    recurrence kernel has no autodiff rule, so training must pass False.
+    ``use_pallas=False`` forces the `lax.scan` path. Both paths are
+    differentiable (the Pallas recurrence ships a custom_vjp); training uses
+    scan by default because it measures faster at training batch sizes
+    (examples/ab_pallas_lstm_train.py — KHMER_OCR_PALLAS_LSTM_TRAIN opts in).
     """
     fw = lstm_scan(p["fw"], x, use_pallas)
     if lengths is None:

@@ -23,6 +23,8 @@ TPU-first redesign vs the reference forward:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -115,9 +117,15 @@ def encode(params, batch_stats, chunks, chunk_counts, cfg: ModelConfig, ctx: Ctx
     t = n * CHUNK_TOKENS
     memory = memory + params["global_pos"][:t].astype(memory.dtype)
     if cfg.use_bilstm:
-        # training must take the differentiable scan path; inference may use
-        # the Pallas recurrence kernel (no autodiff rule)
-        memory = bilstm_apply(params["bilstm"], memory, lengths, use_pallas=False if train else None)
+        # Training defaults to the differentiable `lax.scan` path; the Pallas
+        # recurrence kernel IS trainable (custom_vjp: kernel forward,
+        # reverse-scan adjoint — ops/pallas/lstm.py) and can be opted in with
+        # KHMER_OCR_PALLAS_LSTM_TRAIN=1. A/B on v5e (examples/
+        # ab_pallas_lstm_train.py): the scan path wins at the training batch
+        # sizes, so it stays the default. Inference auto-selects (bilstm.py).
+        train_pallas = train and os.environ.get("KHMER_OCR_PALLAS_LSTM_TRAIN") == "1"
+        memory = bilstm_apply(params["bilstm"], memory, lengths,
+                              use_pallas=(None if train_pallas else False) if train else None)
     pad_mask = jnp.arange(t)[None, :] >= lengths[:, None]  # True = padding
     return memory, pad_mask, new_stats
 
