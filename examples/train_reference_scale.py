@@ -115,6 +115,10 @@ def main() -> int:
                         "MXU with f32 accumulation (standard mixed-precision "
                         "training, ~6x the MXU rate of 'highest'); serving/eval "
                         "keeps the parity-exact 'highest' default regardless.")
+    p.add_argument("--dispatch-group", type=int, default=8,
+                   help="K same-shape batches per device dispatch (train/loop.py). "
+                        "1 disables grouped multi-step dispatch — smaller compiled "
+                        "programs, one host dispatch per step")
     p.add_argument("--host-augment", action="store_true",
                    help="cv2 augmentation on host CPU (legacy; ~10x slower input "
                         "pipeline on one core) instead of on-device (the default)")
@@ -167,6 +171,7 @@ def main() -> int:
         dataset, config, checkpoint_dir=work / "ckpts", mesh=mesh,
         num_epochs=args.epochs, resume_from=resume_from,
         metrics_path=work / "epoch_metrics.jsonl", eye_test_every=1000,
+        dispatch_group=args.dispatch_group,
     )
 
     if args.skip_eval:
